@@ -1,0 +1,173 @@
+"""Device-resident vector storage — TPU equivalent of ``DataBlocksContainer``.
+
+The reference stores vectors in fixed-size contiguous blocks with O(1)
+id->pointer access and swap-with-last deletion
+(``containers/data_blocks_container.h``, ``containers/data_block.h``). The
+TPU design keeps one padded 2-D device array per field (SoA), sized in
+doubling capacity buckets so jitted consumers recompile O(log N) times
+instead of once per block. Deletion keeps the reference's swap-with-last
+semantics (ids stay dense in [0, count)).
+
+Host numpy mirrors are authoritative (they serve ``getDataByLabel``,
+serialization and host-side graph construction); the device copy is synced
+lazily before compute with batched row scatters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..types import DEFAULT_BLOCK_SIZE
+
+
+def _bucket_capacity(n: int, block_size: int) -> int:
+    """Smallest doubling bucket >= n (min one block)."""
+    cap = max(block_size, DEFAULT_BLOCK_SIZE)
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class FieldSpec:
+    """One SoA field: trailing shape + dtype + pad value.
+
+    ``device_dtype`` lets the host mirror keep a wider type than the device
+    copy (fp64 storage computes at fp32 on TPUs without x64 enabled).
+    """
+
+    def __init__(self, shape: tuple, dtype, fill=0, device_dtype=None):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.fill = fill
+        self.device_dtype = np.dtype(device_dtype) if device_dtype is not None else self.dtype
+
+
+class BlockStore:
+    """Growable SoA store with swap-with-last delete and lazy device sync.
+
+    Usage::
+
+        store = BlockStore({"data": FieldSpec((dim,), np.float32)}, block_size)
+        ids = store.append({"data": rows})           # rows [B, dim]
+        moved = store.swap_delete(id)                # reference swap semantics
+        dev = store.device_arrays()                  # synced jnp arrays
+    """
+
+    def __init__(self, fields: dict[str, FieldSpec], block_size: int = DEFAULT_BLOCK_SIZE):
+        self.fields = dict(fields)
+        self.block_size = block_size or DEFAULT_BLOCK_SIZE
+        self.count = 0
+        self.capacity = 0
+        self.host: dict[str, np.ndarray] = {}
+        self._device: dict[str, jax.Array] = {}
+        self._dirty_rows: set[int] = set()
+        self._dirty_from: int = 0  # appended/overwritten suffix start
+        self._device_capacity = -1
+        self._resize(_bucket_capacity(1, self.block_size))
+
+    # -- capacity management -------------------------------------------------
+
+    def _resize(self, new_cap: int) -> None:
+        for name, spec in self.fields.items():
+            arr = np.full((new_cap, *spec.shape), spec.fill, dtype=spec.dtype)
+            if name in self.host and self.count:
+                arr[: self.count] = self.host[name][: self.count]
+            self.host[name] = arr
+        self.capacity = new_cap
+
+    def _maybe_grow(self, extra: int) -> None:
+        need = self.count + extra
+        if need > self.capacity:
+            self._resize(_bucket_capacity(need, self.block_size))
+
+    def maybe_shrink(self) -> None:
+        """Shrink capacity when count has dropped far below the bucket."""
+        target = _bucket_capacity(max(self.count, 1), self.block_size)
+        if target < self.capacity and self.count <= target // 2:
+            self._resize(target)
+
+    # -- mutation ------------------------------------------------------------
+
+    def append(self, rows: dict[str, np.ndarray]) -> np.ndarray:
+        """Append a batch of rows; returns the assigned dense ids."""
+        n = len(next(iter(rows.values())))
+        self._maybe_grow(n)
+        ids = np.arange(self.count, self.count + n, dtype=np.int64)
+        for name, vals in rows.items():
+            self.host[name][self.count : self.count + n] = vals
+        self._dirty_from = min(self._dirty_from, self.count)
+        self.count += n
+        return ids
+
+    def set_row(self, idx: int, rows: dict[str, np.ndarray]) -> None:
+        """Overwrite one existing row (update-in-place path)."""
+        for name, vals in rows.items():
+            self.host[name][idx] = vals
+        self._dirty_rows.add(int(idx))
+
+    def swap_delete(self, idx: int) -> int:
+        """Delete row ``idx`` by moving the last row into it.
+
+        Returns the id of the row that moved into ``idx`` (== idx when the
+        deleted row was the last). Mirrors ``removeElement`` swap-with-last
+        (``data_blocks_container.h``).
+        """
+        last = self.count - 1
+        if idx != last:
+            for name in self.fields:
+                self.host[name][idx] = self.host[name][last]
+            self._dirty_rows.add(int(idx))
+        self.count = last
+        return last
+
+    def row(self, name: str, idx: int) -> np.ndarray:
+        return self.host[name][idx]
+
+    # -- device sync ---------------------------------------------------------
+
+    def device_arrays(self) -> dict[str, jax.Array]:
+        """Return device copies, applying pending host mutations.
+
+        Appends upload the dirty suffix with one ``dynamic_update_slice`` per
+        field; scattered row edits upload with one batched scatter per field.
+        """
+        def to_dev(host_rows, spec):
+            if spec.device_dtype != spec.dtype:
+                host_rows = host_rows.astype(spec.device_dtype)
+            return jnp.asarray(host_rows)
+
+        if self._device_capacity != self.capacity:
+            # Capacity bucket changed: full upload.
+            for name, spec in self.fields.items():
+                self._device[name] = to_dev(self.host[name], spec)
+            self._device_capacity = self.capacity
+            self._dirty_rows.clear()
+            self._dirty_from = self.count
+            return dict(self._device)
+
+        if self._dirty_from < self.count:
+            start = self._dirty_from
+            for name, spec in self.fields.items():
+                chunk = to_dev(self.host[name][start : self.count], spec)
+                self._device[name] = jax.lax.dynamic_update_slice_in_dim(
+                    self._device[name], chunk, start, axis=0
+                )
+            self._dirty_rows = {r for r in self._dirty_rows if r < start}
+        if self._dirty_rows:
+            idx = np.fromiter(self._dirty_rows, dtype=np.int32)
+            for name, spec in self.fields.items():
+                rows = to_dev(self.host[name][idx], spec)
+                self._device[name] = self._device[name].at[jnp.asarray(idx)].set(rows)
+            self._dirty_rows.clear()
+        self._dirty_from = self.count
+        return dict(self._device)
+
+    # -- accounting ----------------------------------------------------------
+
+    @property
+    def memory_bytes(self) -> int:
+        host = sum(a.nbytes for a in self.host.values())
+        # Device copy mirrors host capacity once synced.
+        return host * (2 if self._device else 1)

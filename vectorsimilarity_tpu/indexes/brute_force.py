@@ -1,0 +1,323 @@
+"""Brute-force (Flat) index — the tiled-GEMM + top-k slice.
+
+TPU re-design of ``algorithms/brute_force/*``: the reference's per-vector
+distance loop + bounded heap (``brute_force.h:242-291``) becomes one jitted
+streaming scan (``ops.distances.streaming_topk``) — an MXU matmul per column
+tile fused with a running top-k merge. Multi-value "best score per label"
+(``brute_force_multi.h:17-277``) becomes a device scatter-min over dense
+label slots (``ops.topk``). Swap-with-last deletion, id/label maps, the
+ad-hoc-vs-batches decision tree (``brute_force.h:380-451``) and the
+compute-all-scores-once batch iterator (``bf_batch_iterator.h``) keep the
+reference's semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.abstract_index import DeviceVectorIndex, pow2_bucket
+from ..core.interface import TimeoutBudget
+from ..core.results import QueryReply, make_reply
+from ..ops.distances import full_scores, streaming_topk
+from ..ops.topk import slot_min_scores, topk_by_slot
+from ..types import (
+    BFParams,
+    BfInfo,
+    CommonInfo,
+    QueryReplyOrder,
+    VecSearchMode,
+    VecSimAlgo,
+    VecSimIndexDebugInfo,
+    VecSimIndexStatsInfo,
+    VecSimQueryParams,
+    VecSimQueryReplyCode,
+)
+
+_SCAN_CHUNK = 1 << 16
+
+
+class BruteForceIndex(DeviceVectorIndex):
+    """Flat index over a device block store (single- or multi-value)."""
+
+    def __init__(self, params: BFParams, log_ctx: Any = None):
+        super().__init__(
+            vtype=params.type,
+            dim=params.dim,
+            metric=params.metric,
+            multi=params.multi,
+            block_size=params.blockSize,
+            log_ctx=log_ctx,
+        )
+        self.params = params
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+
+    def add_vector(self, blob: np.ndarray, label: int) -> int:
+        with self._lock:
+            rows = self.preprocess_storage(blob)
+            rows["label"] = np.asarray([label], dtype=np.int64)
+            if self.multi:
+                # Multi: always a fresh row.
+                idx = int(self.store.append(rows)[0])
+                slot = self.labels.add(label, idx)
+                self.store.host["slot"][idx] = slot
+                self.store._dirty_rows.add(idx)  # slot written after append
+                return 1
+            existing = self.labels.ids_of(label)
+            if existing:
+                # Overwrite in place (brute_force_single.h:135 update path).
+                idx = existing[0]
+                self.store.set_row(idx, {k: v[0] for k, v in rows.items()})
+                return 0
+            idx = int(self.store.append(rows)[0])
+            self.labels.add(label, idx)
+            return 1
+
+    def delete_vector(self, label: int) -> int:
+        with self._lock:
+            ids = self.labels.remove_label(label)
+            if not ids:
+                return 0
+            for idx in ids:  # descending for multi
+                self._swap_delete_row(idx)
+            self.store.maybe_shrink()
+            return len(ids)
+
+    def _swap_delete_row(self, idx: int) -> None:
+        last = self.store.count - 1
+        moved_label = int(self.store.host["label"][last])
+        self.store.swap_delete(idx)
+        if idx != last:
+            # The row that moved into `idx` belongs to `moved_label`.
+            if self.multi:
+                self.labels.on_swap(moved_label, last, idx)
+            else:
+                self.labels.on_swap(moved_label, idx)
+
+    # ------------------------------------------------------------------
+    # Read path
+    # ------------------------------------------------------------------
+
+    def _empty_reply(self, code=VecSimQueryReplyCode.OK) -> QueryReply:
+        return make_reply([], [], code)
+
+    def topk_query(
+        self, query: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> QueryReply:
+        replies = self.topk_query_batch(np.asarray(query).reshape(1, -1), k, params)
+        return replies[0]
+
+    def topk_query_batch(
+        self, queries: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> list[QueryReply]:
+        self.last_mode = VecSearchMode.STANDARD_KNN
+        budget = TimeoutBudget(params.timeoutCtx if params else None)
+        if budget.expired():
+            return [self._empty_reply(VecSimQueryReplyCode.TimedOut) for _ in range(len(queries))]
+        count = self.store.count
+        nq = len(queries)
+        if count == 0 or k <= 0:
+            return [self._empty_reply() for _ in range(nq)]
+        q, qnorms = self.preprocess_queries(queries)
+        if self.multi:
+            out = self._topk_multi(q, qnorms, k, nq)
+        else:
+            out = self._topk_single(q, qnorms, k, nq)
+        if budget.expired():
+            for r in out:
+                r.code = VecSimQueryReplyCode.TimedOut
+        return out
+
+    def _padded_queries(self, q: np.ndarray, qnorms, nq: int):
+        bpad = pow2_bucket(nq)
+        if bpad != nq:
+            q = np.concatenate([q, np.repeat(q[-1:], bpad - nq, axis=0)])
+            if qnorms is not None:
+                qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], bpad - nq)])
+        return q, qnorms
+
+    def _topk_single(self, q, qnorms, k: int, nq: int) -> list[QueryReply]:
+        count = self.store.count
+        kk = min(k, count)
+        kpad = min(pow2_bucket(kk), self.store.capacity)
+        q, qnorms = self._padded_queries(q, qnorms, nq)
+        dev = self.store.device_arrays()
+        dists, ids = streaming_topk(
+            jnp.asarray(q),
+            self.store_tuple(dev),
+            jnp.int32(count),
+            kpad,
+            metric=self.metric,
+            kind=self.store_kind,
+            chunk=max(_SCAN_CHUNK, kpad),
+            query_norms=None if qnorms is None else jnp.asarray(qnorms),
+        )
+        dists = np.asarray(dists)[:nq, :kk]
+        ids = np.asarray(ids)[:nq, :kk]
+        id_to_label = self.store.host["label"]
+        out = []
+        for b in range(nq):
+            valid = ids[b] >= 0
+            out.append(make_reply(id_to_label[ids[b][valid]], dists[b][valid]))
+        return out
+
+    def _topk_multi(self, q, qnorms, k: int, nq: int) -> list[QueryReply]:
+        slot_cap = pow2_bucket(max(self.labels.num_slots, 1))
+        q, qnorms = self._padded_queries(q, qnorms, nq)
+        dev = self.store.device_arrays()
+        scores = full_scores(
+            jnp.asarray(q),
+            self.store_tuple(dev),
+            jnp.int32(self.store.count),
+            metric=self.metric,
+            kind=self.store_kind,
+            query_norms=None if qnorms is None else jnp.asarray(qnorms),
+        )
+        kk = min(k, len(self.labels))
+        kpad = min(pow2_bucket(max(kk, 1)), slot_cap)
+        dists, slot_ids = topk_by_slot(scores, dev["slot"], slot_cap, kpad)
+        dists = np.asarray(dists)[:nq]
+        slot_ids = np.asarray(slot_ids)[:nq]
+        out = []
+        for b in range(nq):
+            valid = np.isfinite(dists[b])
+            labels = [self.labels.label_of_slot(int(s)) for s in slot_ids[b][valid][:kk]]
+            out.append(make_reply(labels, dists[b][valid][:kk]))
+        return out
+
+    def range_query(
+        self,
+        query: np.ndarray,
+        radius: float,
+        params: Optional[VecSimQueryParams] = None,
+        order: QueryReplyOrder = QueryReplyOrder.BY_SCORE,
+    ) -> QueryReply:
+        self.last_mode = VecSearchMode.RANGE_QUERY
+        budget = TimeoutBudget(params.timeoutCtx if params else None)
+        if budget.expired():
+            return self._empty_reply(VecSimQueryReplyCode.TimedOut)
+        if self.store.count == 0:
+            return self._empty_reply()
+        q, qnorms = self.preprocess_queries(np.asarray(query).reshape(1, -1))
+        dev = self.store.device_arrays()
+        scores = full_scores(
+            jnp.asarray(q),
+            self.store_tuple(dev),
+            jnp.int32(self.store.count),
+            metric=self.metric,
+            kind=self.store_kind,
+            query_norms=None if qnorms is None else jnp.asarray(qnorms),
+        )
+        if self.multi:
+            slot_cap = pow2_bucket(max(self.labels.num_slots, 1))
+            per_slot = np.asarray(slot_min_scores(scores, dev["slot"], slot_cap))[0]
+            hit = np.where(per_slot <= radius)[0]
+            labels = np.asarray([self.labels.label_of_slot(int(s)) for s in hit], dtype=np.int64)
+            reply = make_reply(labels, per_slot[hit])
+        else:
+            s = np.asarray(scores)[0, : self.store.count]
+            hit = np.where(s <= radius)[0]
+            reply = make_reply(self.store.host["label"][hit], s[hit])
+        if budget.expired():
+            reply.code = VecSimQueryReplyCode.TimedOut
+        return reply.sort(order)
+
+    def get_distance_from(self, label: int, blob: np.ndarray) -> float:
+        ids = self.labels.ids_of(label)
+        if not ids:
+            return float("nan")
+        q, qnorms = self.preprocess_queries(np.asarray(blob).reshape(1, -1))
+        qn = None if qnorms is None else qnorms[0]
+        return min(self.host_distance(i, q[0], qn) for i in ids)
+
+    def new_batch_iterator(self, query: np.ndarray, params: Optional[VecSimQueryParams] = None):
+        from .bf_batch_iterator import BFBatchIterator
+
+        return BFBatchIterator(self, query, params)
+
+    def compute_all_scores(self, query: np.ndarray, params=None):
+        """All (label, score) pairs — backing for the batch iterator.
+
+        Single: returns (labels[count], scores[count]).
+        Multi: returns per-label (labels[L], min-scores[L]).
+        (``bf_batch_iterator.h:176-199`` computes all scores on first batch.)
+        """
+        q, qnorms = self.preprocess_queries(np.asarray(query).reshape(1, -1))
+        dev = self.store.device_arrays()
+        scores = full_scores(
+            jnp.asarray(q),
+            self.store_tuple(dev),
+            jnp.int32(self.store.count),
+            metric=self.metric,
+            kind=self.store_kind,
+            query_norms=None if qnorms is None else jnp.asarray(qnorms),
+        )
+        if self.multi:
+            slot_cap = pow2_bucket(max(self.labels.num_slots, 1))
+            per_slot = np.asarray(slot_min_scores(scores, dev["slot"], slot_cap))[0]
+            live = np.where(np.isfinite(per_slot))[0]
+            labels = np.asarray(
+                [self.labels.label_of_slot(int(s)) for s in live], dtype=np.int64
+            )
+            return labels, per_slot[live]
+        s = np.asarray(scores)[0, : self.store.count]
+        return self.store.host["label"][: self.store.count].copy(), s
+
+    # ------------------------------------------------------------------
+    # Hybrid-policy heuristic (brute_force.h:380-451, sklearn decision tree)
+    # ------------------------------------------------------------------
+
+    def prefer_adhoc_search(self, subset_size: int, k: int, initial_check: bool = False) -> bool:
+        index_size = self.index_size
+        subset_size = min(subset_size, index_size)
+        d = self.dim
+        r = 0.0 if index_size == 0 else subset_size / max(self.index_label_count, 1)
+        if index_size <= 5500:
+            res = True
+        elif d <= 300:
+            if r <= 0.15:
+                res = True
+            elif r <= 0.35:
+                res = d > 75 and index_size <= 550000
+            else:
+                res = False
+        else:
+            if r <= 0.55:
+                res = True
+            elif d <= 750:
+                res = False
+            else:
+                res = r <= 0.75
+        self.last_mode = (
+            (VecSearchMode.HYBRID_ADHOC_BF if initial_check else VecSearchMode.HYBRID_BATCHES_TO_ADHOC_BF)
+            if res
+            else VecSearchMode.HYBRID_BATCHES
+        )
+        return res
+
+    # ------------------------------------------------------------------
+    # Info
+    # ------------------------------------------------------------------
+
+    def basic_info(self):
+        return self._basic_info(VecSimAlgo.BF)
+
+    def stats_info(self) -> VecSimIndexStatsInfo:
+        return VecSimIndexStatsInfo(memory=self.memory_bytes)
+
+    def debug_info(self) -> VecSimIndexDebugInfo:
+        return VecSimIndexDebugInfo(
+            commonInfo=CommonInfo(
+                basicInfo=self.basic_info(),
+                indexSize=self.index_size,
+                indexLabelCount=self.index_label_count,
+                memory=self.memory_bytes,
+                lastMode=self.last_mode,
+            ),
+            bfInfo=BfInfo(),
+        )

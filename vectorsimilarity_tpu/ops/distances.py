@@ -1,0 +1,328 @@
+"""Batched distance computation — the TPU-native "spaces" layer.
+
+The reference implements per-(dtype, metric, ISA, dim-residual) scalar/SIMD
+kernels computing one pairwise distance per call (``src/VecSim/spaces/IP/*``,
+``src/VecSim/spaces/L2/*``, ~13k LoC, dispatched by
+``spaces::GetDistFunc`` at ``src/VecSim/spaces/spaces.h:18-65``). On TPU the
+natural unit is a *batched score matrix*: ``scores(queries[B,D], data[N,D]) ->
+[B,N]`` computed as a tiled matmul on the MXU. Per-ISA selection collapses to
+dtype lanes; dim-residual template switches collapse to padding+masking.
+
+Distance conventions match the reference exactly:
+  - L2     -> squared L2 (no sqrt)          (``spaces/L2/L2.cpp``)
+  - IP     -> 1 - <q, v>                    (``spaces/IP/IP.cpp``)
+  - Cosine -> 1 - <q, v> on normalized data (floats are normalized at ingest;
+              int8/uint8 divide by stored norms — ``IP.cpp:258-287``)
+  - SQ8    -> asymmetric: IP(x,y) ≈ min·Σy + delta·Σ(q_i·y_i); L2 via
+              ||x-y||² = Σx² - 2·IP + Σy²   (``spaces/computer/preprocessors.h``)
+
+All functions are pure and jittable. Inputs may be smaller-than-capacity
+views; masking of padded rows happens in the callers (index layer) via the
+``count`` argument of the top-k helpers in ``topk.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..types import VecSimMetric
+
+# Accumulate matmuls in fp32 at the highest available precision so results are
+# comparable with the reference's fp32 scalar kernels (tests assert parity
+# against a float64 ground truth with tight tolerances).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _acc_dtype(dtype) -> jnp.dtype:
+    """Accumulation dtype: f64 stays f64 (when x64 is enabled), rest f32."""
+    if dtype == jnp.float64:
+        return jnp.float64
+    return jnp.float32
+
+
+def _dot(queries: jax.Array, data: jax.Array) -> jax.Array:
+    """<q_b, v_n> for all pairs -> [B, N], accumulated in fp32 (or f64)."""
+    acc = _acc_dtype(queries.dtype)
+    return jax.lax.dot_general(
+        queries,
+        data,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+        precision=_PRECISION,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Float family: fp32 / fp64 / bf16 / fp16
+# ---------------------------------------------------------------------------
+
+
+def scores_float(
+    queries: jax.Array,
+    data: jax.Array,
+    metric: VecSimMetric,
+    data_sqnorms: jax.Array | None = None,
+) -> jax.Array:
+    """Distance matrix [B, N] for float-typed vectors.
+
+    For L2 the identity ||q-v||² = ||q||² - 2<q,v> + ||v||² turns the scan
+    into a single MXU matmul plus rank-1 updates; ``data_sqnorms`` ([N], f32)
+    may be precomputed by the store to save a pass. For Cosine the *storage*
+    is already normalized (ingest pipeline), and callers pass a normalized
+    query, so Cosine == IP here (mirrors ``spaces/IP_space.cpp`` where Cosine
+    dist fns alias IP on normalized input).
+    """
+    metric = VecSimMetric(metric)
+    ip = _dot(queries, data)
+    if metric in (VecSimMetric.IP, VecSimMetric.Cosine):
+        return 1.0 - ip
+    # L2
+    acc = _acc_dtype(queries.dtype)
+    q = queries.astype(acc)
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)  # [B, 1]
+    if data_sqnorms is None:
+        d = data.astype(acc)
+        data_sqnorms = jnp.sum(d * d, axis=-1)  # [N]
+    return q_sq - 2.0 * ip + data_sqnorms[None, :].astype(acc)
+
+
+# ---------------------------------------------------------------------------
+# Integer family: int8 / uint8 (with stored norms for Cosine)
+# ---------------------------------------------------------------------------
+
+
+def scores_int(
+    queries: jax.Array,
+    data: jax.Array,
+    metric: VecSimMetric,
+    data_norms: jax.Array | None = None,
+    query_norms: jax.Array | None = None,
+) -> jax.Array:
+    """Distance matrix [B, N] for int8/uint8 vectors.
+
+    Integer dots ride the MXU int8 path (int32 accumulation), matching the
+    reference's exact integer arithmetic (``spaces/IP/IP.cpp:258-287``).
+    Cosine divides the integer dot by the product of the *stored* fp32 norms
+    (the reference appends the norm after the int vector; we keep norms as a
+    separate SoA array — same math, TPU-friendly layout).
+    """
+    metric = VecSimMetric(metric)
+    # uint8 values fit in int32 exactly; use int32 accumulation via MXU.
+    ip = jax.lax.dot_general(
+        queries.astype(jnp.int32),
+        data.astype(jnp.int32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=_PRECISION,
+    )
+    if metric == VecSimMetric.IP:
+        return 1.0 - ip.astype(jnp.float32)
+    if metric == VecSimMetric.Cosine:
+        denom = query_norms[:, None] * data_norms[None, :]
+        return 1.0 - ip.astype(jnp.float32) / denom
+    # L2: ||q-v||² with exact integer arithmetic.
+    q = queries.astype(jnp.int32)
+    d = data.astype(jnp.int32)
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    d_sq = jnp.sum(d * d, axis=-1)
+    return (q_sq - 2 * ip + d_sq[None, :]).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 asymmetric: uint8 storage codes vs float queries
+# ---------------------------------------------------------------------------
+
+
+def scores_sq8(
+    queries: jax.Array,
+    codes: jax.Array,
+    vmin: jax.Array,
+    delta: jax.Array,
+    xsumsq: jax.Array | None,
+    metric: VecSimMetric,
+) -> jax.Array:
+    """Asymmetric SQ8 distance matrix [B, N].
+
+    Storage: ``codes`` u8 [N, D], per-vector ``vmin``/``delta``/``xsumsq``
+    (f32 [N]) — the SoA equivalent of the reference's inline
+    ``[u8[dim] | min | delta | Σx | Σx²]`` blob layout
+    (``spaces/computer/preprocessors.h:150-162``). Query stays float.
+
+      IP(x, y)   = min·Σy + delta·Σ(q_i·y_i)       (IP.cpp:35-71)
+      IP dist    = 1 - IP(x, y)
+      L2 dist    = Σx² - 2·IP(x, y) + Σy²           (L2.cpp:30-46)
+    """
+    metric = VecSimMetric(metric)
+    q = queries.astype(jnp.float32)
+    qdot = jax.lax.dot_general(
+        q,
+        codes.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )  # [B, N] = Σ(q_i · y_i) with x as codes
+    ysum = jnp.sum(q, axis=-1, keepdims=True)  # [B, 1]
+    ip = vmin[None, :] * ysum + delta[None, :] * qdot
+    if metric in (VecSimMetric.IP, VecSimMetric.Cosine):
+        return 1.0 - ip
+    ysumsq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return xsumsq[None, :] - 2.0 * ip + ysumsq
+
+
+# ---------------------------------------------------------------------------
+# Pairwise distance between two single vectors (GetDistanceFrom parity)
+# ---------------------------------------------------------------------------
+
+
+def one_to_one(
+    a: jax.Array,
+    b: jax.Array,
+    metric: VecSimMetric,
+    a_norm: jax.Array | None = None,
+    b_norm: jax.Array | None = None,
+) -> jax.Array:
+    """Single-pair distance matching ``VecSimIndex_GetDistanceFrom_Unsafe``."""
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        return scores_int(
+            a[None, :],
+            b[None, :],
+            metric,
+            data_norms=None if b_norm is None else jnp.asarray(b_norm)[None],
+            query_norms=None if a_norm is None else jnp.asarray(a_norm)[None],
+        )[0, 0]
+    return scores_float(a[None, :], b[None, :], metric)[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k over a large store (chunked scan; avoids [B, N] in HBM)
+# ---------------------------------------------------------------------------
+
+
+def _merge_topk(best_d, best_i, new_d, new_i, k):
+    """Merge running top-k (smallest distances) with fresh candidates."""
+    d = jnp.concatenate([best_d, new_d], axis=1)
+    i = jnp.concatenate([best_i, new_i], axis=1)
+    neg, idx = jax.lax.top_k(-d, k)  # top_k takes max; distances: smaller=better
+    return -neg, jnp.take_along_axis(i, idx, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric", "kind"))
+def streaming_topk(
+    queries: jax.Array,
+    store: tuple,
+    count: jax.Array,
+    k: int,
+    *,
+    metric: VecSimMetric,
+    kind: str,
+    chunk: int = 1 << 16,
+    query_norms: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN over a device-resident store without materializing [B, N].
+
+    Scans the store in ``chunk``-sized column tiles inside a ``lax.scan``;
+    each step is one MXU matmul fused with a top-k merge, carrying the running
+    ``(dists[B,k], ids[B,k])``. This is the TPU replacement for the
+    reference's per-vector loop + bounded heap
+    (``algorithms/brute_force/brute_force.h:242-291``).
+
+    ``store`` is a tuple of SoA arrays, interpreted per ``kind``:
+      - "float": (data[N,D], sqnorms[N] or None)
+      - "int":   (data[N,D], norms[N] or None)
+      - "sq8":   (codes[N,D], vmin[N], delta[N], xsumsq[N] or None)
+    Rows with index >= count are masked to +inf. Returned ids of unfilled
+    slots (k > count) are -1 with +inf distance.
+    """
+    B = queries.shape[0]
+    N = store[0].shape[0]
+    n_chunks = max(1, -(-N // chunk))
+    pad_n = n_chunks * chunk
+
+    def pad_cols(x, fill=0):
+        if x is None:
+            return None
+        pads = [(0, pad_n - N)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pads, constant_values=fill)
+
+    padded = tuple(pad_cols(x) for x in store)
+
+    def chunk_view(x, c):
+        if x is None:
+            return None
+        return jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk, axis=0)
+
+    def score_chunk(c):
+        if kind == "float":
+            data, sqn = padded
+            return scores_float(queries, chunk_view(data, c), metric, chunk_view(sqn, c))
+        if kind == "int":
+            data, norms = padded
+            return scores_int(
+                queries, chunk_view(data, c), metric, chunk_view(norms, c), query_norms
+            )
+        if kind == "sq8":
+            codes, vmin, delta, xsumsq = padded
+            return scores_sq8(
+                queries,
+                chunk_view(codes, c),
+                chunk_view(vmin, c),
+                chunk_view(delta, c),
+                chunk_view(xsumsq, c),
+                metric,
+            )
+        raise ValueError(f"unknown store kind {kind!r}")
+
+    inf = jnp.inf
+
+    def step(carry, c):
+        best_d, best_i = carry
+        d = score_chunk(c)  # [B, chunk]
+        ids = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
+        d = jnp.where(ids < count, d.astype(jnp.float32), inf)
+        kk = min(k, chunk)
+        neg, local = jax.lax.top_k(-d, kk)
+        local_ids = jnp.take_along_axis(ids, local, axis=1)
+        best_d, best_i = _merge_topk(best_d, best_i, -neg, local_ids, k)
+        return (best_d, best_i), None
+
+    init = (
+        jnp.full((B, k), inf, dtype=jnp.float32),
+        jnp.full((B, k), -1, dtype=jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+    return best_d, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "kind", "chunk"))
+def full_scores(
+    queries: jax.Array,
+    store: tuple,
+    count: jax.Array,
+    *,
+    metric: VecSimMetric,
+    kind: str,
+    chunk: int = 1 << 16,
+    query_norms: jax.Array | None = None,
+) -> jax.Array:
+    """All-pairs distance matrix [B, N] with padded rows masked to +inf.
+
+    Used by the BF batch iterator (compute-all-scores-once design,
+    ``bf_batch_iterator.h:176-199``) and range queries.
+    """
+    N = store[0].shape[0]
+    B = queries.shape[0]
+    if kind == "float":
+        d = scores_float(queries, store[0], metric, store[1])
+    elif kind == "int":
+        d = scores_int(queries, store[0], metric, store[1], query_norms)
+    elif kind == "sq8":
+        codes, vmin, delta, xsumsq = store
+        d = scores_sq8(queries, codes, vmin, delta, xsumsq, metric)
+    else:
+        raise ValueError(f"unknown store kind {kind!r}")
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    return jnp.where(ids < count, d.astype(jnp.float32), jnp.inf)
