@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Headline benchmark: brute-force exact k-NN QPS on 1M x 768 fp32 cosine.
+
+Reproduces the reference's primary micro-benchmark configuration (dbpedia
+1M x 768 cosine, ``tests/benchmark/run_files/bm_basics_single_fp32.cpp``,
+BF TopK k=10 per ``docs/benchmarks.md:60-63``) with synthetic normalized
+vectors, runs it through the public index API on the available accelerator,
+and compares against a *measured* single-threaded AVX-512 CPU scan on this
+host (``native/bf_baseline.cpp``) — the stand-in for the reference's CPU
+flat-index kernel. North star (BASELINE.md): >= 10x the CPU baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def cpu_baseline_qps(n: int, dim: int, k: int, nq: int) -> float:
+    """Compile (cached) and run the native CPU scan; returns QPS."""
+    cache_key = f"bf_baseline_{n}_{dim}_{k}_{nq}.json"
+    cache_path = os.path.join("/tmp", cache_key)
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            return json.load(f)["cpu_qps"]
+    binary = "/tmp/bf_baseline"
+    src = os.path.join(REPO, "native", "bf_baseline.cpp")
+    try:
+        if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-funroll-loops", "-o", binary, src],
+                check=True, capture_output=True,
+            )
+        out = subprocess.run(
+            [binary, str(n), str(dim), str(k), str(nq)],
+            check=True, capture_output=True, text=True, timeout=3600,
+        )
+        qps = json.loads(out.stdout.strip())["cpu_qps"]
+        with open(cache_path, "w") as f:
+            json.dump({"cpu_qps": qps}, f)
+        return qps
+    except Exception as e:  # toolchain missing: fall back to a conservative estimate
+        print(f"# cpu baseline unavailable ({e}); using estimate", file=sys.stderr)
+        # ~3 GB/scan at ~12 GB/s effective single-core bandwidth.
+        return 12e9 / (n * dim * 4)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=128, help="queries per device call")
+    ap.add_argument("--repeats", type=int, default=8)
+    ap.add_argument("--quick", action="store_true", help="100k vectors, fewer repeats")
+    ap.add_argument("--baseline-queries", type=int, default=8)
+    args = ap.parse_args()
+    if args.quick:
+        args.n = min(args.n, 100_000)
+        args.repeats = 3
+        args.baseline_queries = 3
+
+    import jax
+
+    from vectorsimilarity_tpu import (
+        BFParams, VecSimAlgo, VecSimMetric, VecSimParams, VecSimType, create_index,
+    )
+
+    n, dim, k, B = args.n, args.dim, args.k, args.batch
+    rng = np.random.default_rng(0)
+    print(f"# building {n}x{dim} fp32 cosine BF index on {jax.devices()[0]}", file=sys.stderr)
+    idx = create_index(
+        VecSimParams(
+            algo=VecSimAlgo.BF,
+            bfParams=BFParams(type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.Cosine),
+        )
+    )
+    chunk = 1 << 17
+    for start in range(0, n, chunk):
+        m = min(chunk, n - start)
+        block = rng.standard_normal((m, dim)).astype(np.float32)
+        rows = idx.preprocess_storage(block)
+        rows["label"] = np.arange(start, start + m, dtype=np.int64)
+        ids = idx.store.append(rows)
+        for lab, i in zip(rows["label"], ids):
+            idx.labels.add(int(lab), int(i))
+    assert idx.index_size == n
+
+    queries = rng.standard_normal((B, dim)).astype(np.float32)
+    # Warmup: compile + first data sync.
+    idx.topk_query_batch(queries, k)
+    idx.topk_query_batch(queries, k)
+    t0 = time.perf_counter()
+    for _ in range(args.repeats):
+        replies = idx.topk_query_batch(queries, k)
+    t1 = time.perf_counter()
+    assert len(replies) == B and len(replies[0]) == k
+    qps = args.repeats * B / (t1 - t0)
+
+    print(f"# measuring CPU baseline ({args.baseline_queries} queries)...", file=sys.stderr)
+    cpu_qps = cpu_baseline_qps(n, dim, k, args.baseline_queries)
+    print(
+        json.dumps(
+            {
+                "metric": f"bf_topk_qps_{n}x{dim}_fp32_cosine_k{k}",
+                "value": round(qps, 2),
+                "unit": "qps",
+                "vs_baseline": round(qps / cpu_qps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vectorsimilarity_tpu.parallel.sharding import make_mesh, shard_rows, sharded_topk
+from vectorsimilarity_tpu.types import VecSimMetric
+
+from common import gt_scores
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+@pytest.mark.parametrize("metric", [VecSimMetric.L2, VecSimMetric.IP])
+def test_sharded_topk_matches_numpy(mesh, metric):
+    rng = np.random.default_rng(0)
+    n, dim, k, B = 8 * 256, 32, 10, 4
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((B, dim)).astype(np.float32)
+    sq = np.sum(data * data, axis=-1).astype(np.float32)
+    dists, ids = sharded_topk(
+        jnp.asarray(q),
+        (shard_rows(jnp.asarray(data), mesh), shard_rows(jnp.asarray(sq), mesh)),
+        jnp.int32(n),
+        k,
+        metric=metric,
+        kind="float",
+        mesh=mesh,
+    )
+    want = np.argsort(gt_scores(q, data, metric), axis=1)[:, :k]
+    for b in range(B):
+        assert set(np.asarray(ids)[b].tolist()) == set(want[b].tolist())
+
+
+def test_sharded_topk_masks_padding(mesh):
+    rng = np.random.default_rng(1)
+    n_pad, count, dim, k = 8 * 64, 100, 16, 120
+    data = rng.standard_normal((n_pad, dim)).astype(np.float32)
+    sq = np.sum(data * data, axis=-1).astype(np.float32)
+    q = rng.standard_normal((1, dim)).astype(np.float32)
+    dists, ids = sharded_topk(
+        jnp.asarray(q),
+        (shard_rows(jnp.asarray(data), mesh), shard_rows(jnp.asarray(sq), mesh)),
+        jnp.int32(count),
+        k,
+        metric=VecSimMetric.L2,
+        kind="float",
+        mesh=mesh,
+    )
+    ids = np.asarray(ids)[0]
+    finite = np.isfinite(np.asarray(dists)[0])
+    assert finite.sum() == count
+    assert (ids[finite] < count).all()
+
+
+def test_graft_entry_single_and_multichip():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    d, i = jax.jit(fn)(*args)
+    assert d.shape[-1] == 10
+    ge.dryrun_multichip(8)

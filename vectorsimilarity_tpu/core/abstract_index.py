@@ -74,7 +74,9 @@ class DeviceVectorIndex(VecSimIndexBase):
         fields["label"] = FieldSpec((), np.int64, fill=-1)
         if self.multi:
             fields["slot"] = FieldSpec((), np.int32, fill=-1)
-        if not self.is_int and self.metric == VecSimMetric.L2:
+        if self.metric == VecSimMetric.L2:
+            # Precomputed ||v||^2 turns L2 scans and neighbor gathers into a
+            # single matmul plus rank-1 updates (exact f32 for int inputs).
             fields["sqnorm"] = FieldSpec((), np.float32)
         if self.is_int and self.metric == VecSimMetric.Cosine:
             fields["norm"] = FieldSpec((), np.float32)
@@ -114,8 +116,12 @@ class DeviceVectorIndex(VecSimIndexBase):
             arr = self._normalize_rows(arr)
         rows["data"] = arr
         if "sqnorm" in self.store.fields:
-            v = arr.astype(np.float32 if arr.dtype != np.float64 else np.float64)
-            rows["sqnorm"] = np.sum(v * v, axis=-1).astype(np.float32)
+            if self.is_int:
+                v64 = arr.astype(np.int64)
+                rows["sqnorm"] = np.sum(v64 * v64, axis=-1).astype(np.float32)
+            else:
+                v = arr.astype(np.float32 if arr.dtype != np.float64 else np.float64)
+                rows["sqnorm"] = np.sum(v * v, axis=-1).astype(np.float32)
         if "norm" in self.store.fields:
             v = arr.astype(np.int64)
             rows["norm"] = np.sqrt(np.sum(v * v, axis=-1).astype(np.float32))

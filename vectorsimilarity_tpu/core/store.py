@@ -125,6 +125,10 @@ class BlockStore:
     def row(self, name: str, idx: int) -> np.ndarray:
         return self.host[name][idx]
 
+    def mark_dirty(self, idx: int) -> None:
+        """Record a direct host-array edit so device sync picks it up."""
+        self._dirty_rows.add(int(idx))
+
     # -- device sync ---------------------------------------------------------
 
     def device_arrays(self) -> dict[str, jax.Array]:

@@ -1,0 +1,834 @@
+"""HNSW index — flat SoA adjacency + jitted device beam search.
+
+TPU re-design of ``algorithms/hnsw/hnsw.h`` (2.3k LoC). The reference's
+pointer-linked ``ElementGraphData`` nodes (``graph_data.h:15-137``) become
+dense SoA arrays aligned with the vector store:
+
+  - level-0 links:   ``links0`` [cap, M0] int32 (-1 padded) + ``nlinks0``
+  - upper links:     a compact side store for the ~N/M nodes with level>=1:
+                     ``links`` [ucap, LMAX, M], ``nlinks`` [ucap, LMAX],
+                     with ``upper_row`` [cap] mapping vector id -> row
+  - per-node level, flags (DELETED tombstone for the tiered async path)
+
+Queries run fully on device: batched greedy descent over upper levels
+(hnsw.h:1872-1886 ``searchBottomLayerEP``) then an ef-beam at level 0
+(hnsw.h:1888-1940) — see ``ops/graph_search.py``. Construction is
+host-orchestrated but device-assisted: inserts are batched; candidate search
+runs the same device beam (hnsw.h:1548-1583 ``insertElementToGraph``),
+diversity pruning (hnsw.h:725-779 ``getNeighborsByHeuristic2``) runs as a
+batched device ``fori_loop``, and the host only writes link rows. Deletion
+keeps the reference's in-place semantics (hnsw.h:946-1184): neighbors are
+repaired by re-pruning over (their links ∪ deleted's links), then the row is
+removed with swap-with-last including graph id rewrites. Instead of
+incoming-unidirectional-edge lists (graph_data.h:17-97) the repair sweep
+finds referrers with a vectorized scan over the SoA link arrays — O(N·M/8)
+bytes of sequential reads instead of per-edge set bookkeeping.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.abstract_index import DeviceVectorIndex, pow2_bucket
+from ..core.interface import TimeoutBudget
+from ..core.results import QueryReply, make_reply
+from ..core.store import BlockStore, FieldSpec
+from ..ops.graph_search import (
+    StoreCtx,
+    beam_search,
+    dists_to_ids,
+    diversity_prune,
+    greedy_level,
+)
+from ..types import (
+    CommonInfo,
+    HNSWParams,
+    HnswInfo,
+    INVALID_LABEL,
+    QueryReplyOrder,
+    VecSearchMode,
+    VecSimAlgo,
+    VecSimIndexDebugInfo,
+    VecSimIndexStatsInfo,
+    VecSimMetric,
+    VecSimQueryParams,
+    VecSimQueryReplyCode,
+)
+
+FLAG_DELETED = 1
+
+_INITIAL_LMAX = 4
+
+
+class HNSWIndex(DeviceVectorIndex):
+    def __init__(self, params: HNSWParams, log_ctx: Any = None, seed: int = 200):
+        self.M = params.M
+        self.M0 = 2 * params.M  # hnsw.h:1599 (maxM0 = 2*M)
+        self.ef_construction = max(params.efConstruction, self.M)
+        self.ef_runtime = params.efRuntime
+        self.epsilon = params.epsilon
+        self.mult = 1.0 / math.log(self.M)  # hnsw.h:399-404 level sampling
+        super().__init__(
+            vtype=params.type,
+            dim=params.dim,
+            metric=params.metric,
+            multi=params.multi,
+            block_size=params.blockSize,
+            log_ctx=log_ctx,
+            extra_fields={
+                "level": FieldSpec((), np.int32),
+                "upper_row": FieldSpec((), np.int32, fill=-1),
+                "links0": FieldSpec((self.M0,), np.int32, fill=-1),
+                "nlinks0": FieldSpec((), np.int32),
+                "flags": FieldSpec((), np.uint8),
+            },
+        )
+        self.params = params
+        self.lmax = _INITIAL_LMAX
+        self.upper = self._new_upper_store(self.lmax)
+        self.entry_id = -1
+        self.max_level = -1
+        self.num_marked_deleted = 0
+        self._rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------
+    # Upper-level side store
+    # ------------------------------------------------------------------
+
+    def _new_upper_store(self, lmax: int) -> BlockStore:
+        return BlockStore(
+            {
+                "links": FieldSpec((lmax, self.M), np.int32, fill=-1),
+                "nlinks": FieldSpec((lmax,), np.int32),
+                "vec": FieldSpec((), np.int32, fill=-1),
+            },
+            block_size=max(self.block_size // max(self.M, 1), 64),
+        )
+
+    def _grow_lmax(self, need: int) -> None:
+        new_lmax = self.lmax
+        while new_lmax < need:
+            new_lmax *= 2
+        old = self.upper
+        self.upper = self._new_upper_store(new_lmax)
+        if old.count:
+            n = old.count
+            rows = {
+                "links": np.full((n, new_lmax, self.M), -1, dtype=np.int32),
+                "nlinks": np.zeros((n, new_lmax), dtype=np.int32),
+                "vec": old.host["vec"][:n].copy(),
+            }
+            rows["links"][:, : self.lmax] = old.host["links"][:n]
+            rows["nlinks"][:, : self.lmax] = old.host["nlinks"][:n]
+            self.upper.append(rows)
+        self.lmax = new_lmax
+
+    def _alloc_upper_row(self, node: int) -> int:
+        r = int(
+            self.upper.append(
+                {
+                    "links": np.full((1, self.lmax, self.M), -1, dtype=np.int32),
+                    "nlinks": np.zeros((1, self.lmax), dtype=np.int32),
+                    "vec": np.asarray([node], dtype=np.int32),
+                }
+            )[0]
+        )
+        self.store.host["upper_row"][node] = r
+        self.store.mark_dirty(node)
+        return r
+
+    # ------------------------------------------------------------------
+    # Host link accessors
+    # ------------------------------------------------------------------
+
+    def get_links(self, node: int, lvl: int) -> list[int]:
+        if lvl == 0:
+            n = int(self.store.host["nlinks0"][node])
+            return self.store.host["links0"][node, :n].tolist()
+        r = int(self.store.host["upper_row"][node])
+        n = int(self.upper.host["nlinks"][r, lvl - 1])
+        return self.upper.host["links"][r, lvl - 1, :n].tolist()
+
+    def set_links(self, node: int, lvl: int, ids: list[int]) -> None:
+        if lvl == 0:
+            assert len(ids) <= self.M0
+            row = self.store.host["links0"][node]
+            row[: len(ids)] = ids
+            row[len(ids) :] = -1
+            self.store.host["nlinks0"][node] = len(ids)
+            self.store.mark_dirty(node)
+            return
+        assert len(ids) <= self.M
+        r = int(self.store.host["upper_row"][node])
+        row = self.upper.host["links"][r, lvl - 1]
+        row[: len(ids)] = ids
+        row[len(ids) :] = -1
+        self.upper.host["nlinks"][r, lvl - 1] = len(ids)
+        self.upper.mark_dirty(r)
+
+    def node_level(self, node: int) -> int:
+        return int(self.store.host["level"][node])
+
+    # ------------------------------------------------------------------
+    # Device context
+    # ------------------------------------------------------------------
+
+    def _device_ctx(self):
+        dev = self.store.device_arrays()
+        udev = self.upper.device_arrays()
+        ctx = StoreCtx(data=dev["data"], sqnorm=dev.get("sqnorm"), norm=dev.get("norm"))
+        return dev, udev, ctx
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+
+    def _sample_level(self) -> int:
+        u = self._rng.random()
+        return int(-math.log(max(u, 1e-12)) * self.mult)
+
+    def add_vector(self, blob: np.ndarray, label: int) -> int:
+        return self.add_vector_batch(np.asarray(blob).reshape(1, -1), [label])
+
+    def add_vector_batch(self, vecs: np.ndarray, labels) -> int:
+        """Batched insert — the TPU-native write path.
+
+        The reference inserts one vector at a time (hnsw.h:1764-1818); here a
+        whole batch shares the device candidate searches. Intra-batch edges
+        are recovered by merging batch-pairwise distances into the candidate
+        lists, so batched construction matches sequential recall closely.
+        """
+        labels = [int(l) for l in labels]
+        with self._lock:
+            overwrite: list[int] = []
+            if not self.multi:
+                overwrite = [l for l in labels if l in self.labels]
+                for l in overwrite:
+                    self.delete_vector(l)
+            rows = self.preprocess_storage(vecs)
+            n = len(labels)
+            rows["label"] = np.asarray(labels, dtype=np.int64)
+            levels = np.asarray([self._sample_level() for _ in range(n)], dtype=np.int32)
+            rows["level"] = levels
+            if levels.max(initial=0) + 1 > self.lmax:
+                self._grow_lmax(int(levels.max()) + 1)
+            ids = self.store.append(rows)
+            for i, node in enumerate(ids):
+                node = int(node)
+                if self.multi:
+                    slot = self.labels.add(labels[i], node)
+                    self.store.host["slot"][node] = slot
+                    self.store.mark_dirty(node)
+                else:
+                    self.labels.add(labels[i], node)
+                if levels[i] >= 1:
+                    self._alloc_upper_row(node)
+            self._connect_batch([int(x) for x in ids], levels)
+            if self.multi:
+                return n
+            return n if not overwrite else n - len(overwrite)
+
+    # -- construction ----------------------------------------------------
+
+    def _connect_batch(self, ids: list[int], levels: np.ndarray) -> None:
+        prev_ep, prev_max = self.entry_id, self.max_level
+        n = len(ids)
+        q_host = self.store.host["data"][ids]
+        qn_host = (
+            self.store.host["norm"][ids]
+            if ("norm" in self.store.fields and self.metric == VecSimMetric.Cosine)
+            else None
+        )
+
+        # Candidate lists per new node, per level: {(i, lvl): (ids, dists)}
+        dev, udev, ctx = self._device_ctx()
+        q = jnp.asarray(
+            q_host.astype(np.float32)
+            if q_host.dtype == np.float64 and dev["data"].dtype == jnp.float32
+            else q_host
+        )
+        qn = None if qn_host is None else jnp.asarray(qn_host)
+        efc = self.ef_construction
+        cap = self.store.capacity
+
+        # --- graph candidates (snapshot excludes this batch: new rows have
+        # no incoming links yet, so they are unreachable) ---
+        beam0_d = np.full((n, efc), np.inf, dtype=np.float32)
+        beam0_i = np.full((n, efc), -1, dtype=np.int32)
+        upper_cands: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        if prev_ep >= 0:
+            cur = jnp.full((n,), prev_ep, dtype=jnp.int32)
+            cur_d = dists_to_ids(
+                q, jnp.full((n, 1), prev_ep, dtype=jnp.int32), ctx,
+                metric=self.metric, kind=self.store_kind, q_norm=qn,
+            )[:, 0]
+            # Batched greedy descent to level 1 for everyone.
+            for l in range(prev_max, 0, -1):
+                cur, cur_d = greedy_level(
+                    q, ctx, udev["links"], dev["upper_row"], cur, cur_d,
+                    jnp.int32(l), metric=self.metric, kind=self.store_kind, q_norm=qn,
+                )
+            entry0 = np.array(cur)  # writable host copies
+            entry0_d = np.array(cur_d)
+            # Upper-level nodes: individual proper descent + per-level beams.
+            for i in range(n):
+                li = int(levels[i])
+                if li < 1 or prev_max < 1:
+                    continue
+                e_id, e_d = self._upper_descend_single(
+                    q[i : i + 1], ctx, dev, udev, prev_ep, prev_max, li,
+                    None if qn is None else qn[i : i + 1],
+                )
+                for l in range(min(li, prev_max), 0, -1):
+                    bd, bi = beam_search(
+                        q[i : i + 1], ctx, udev["links"], dev["upper_row"],
+                        e_id, e_d, cap, jnp.int32(l),
+                        ef=efc, metric=self.metric, kind=self.store_kind,
+                        q_norm=None if qn is None else qn[i : i + 1],
+                    )
+                    upper_cands[(i, l)] = (np.asarray(bi)[0], np.asarray(bd)[0])
+                    e_id = bi[:, 0]
+                    e_d = bd[:, 0]
+                entry0[i] = int(np.asarray(e_id)[0])
+                entry0_d[i] = float(np.asarray(e_d)[0])
+            bd, bi = beam_search(
+                q, ctx, dev["links0"], None,
+                jnp.asarray(entry0), jnp.asarray(entry0_d), cap,
+                ef=efc, metric=self.metric, kind=self.store_kind, q_norm=qn,
+            )
+            beam0_d = np.asarray(bd)
+            beam0_i = np.asarray(bi)
+
+        # --- intra-batch candidates ---
+        if n > 1:
+            pair = np.array(  # writable copy: diagonal gets masked below
+                dists_to_ids(
+                    q,
+                    jnp.broadcast_to(jnp.asarray(ids, dtype=jnp.int32)[None, :], (n, n)),
+                    ctx, metric=self.metric, kind=self.store_kind, q_norm=qn,
+                )
+            )
+            np.fill_diagonal(pair, np.inf)
+        else:
+            pair = np.full((1, 1), np.inf, dtype=np.float32)
+        batch_ids = np.asarray(ids, dtype=np.int32)
+
+        # --- level 0: merge + prune for the whole batch in one device call ---
+        cand_i = np.concatenate([beam0_i, np.broadcast_to(batch_ids, (n, n))], axis=1)
+        cand_d = np.concatenate([beam0_d, pair], axis=1)
+        sel = np.asarray(
+            diversity_prune(
+                q, jnp.asarray(cand_i), jnp.asarray(cand_d), ctx,
+                m=self.M0, metric=self.metric, kind=self.store_kind, q_norm=qn,
+            )
+        )
+        additions: dict[tuple[int, int], list[int]] = {}
+        for i, node in enumerate(ids):
+            chosen = [int(x) for x in sel[i] if x >= 0]
+            self.set_links(node, 0, chosen)
+            for nb in chosen:
+                additions.setdefault((nb, 0), []).append(node)
+
+        # --- upper levels: per node ---
+        for i, node in enumerate(ids):
+            li = int(levels[i])
+            for l in range(1, li + 1):
+                gi, gd = upper_cands.get((i, l), (np.empty(0, np.int32), np.empty(0, np.float32)))
+                mask = levels >= l
+                mask[i] = False
+                intra_i = batch_ids[mask]
+                intra_d = pair[i][mask]
+                ci = np.concatenate([gi, intra_i]).astype(np.int32)
+                cd = np.concatenate([gd, intra_d]).astype(np.float32)
+                if len(ci) == 0:
+                    self.set_links(node, l, [])
+                    continue
+                s = np.asarray(
+                    diversity_prune(
+                        q[i : i + 1], jnp.asarray(ci[None, :]), jnp.asarray(cd[None, :]),
+                        ctx, m=self.M, metric=self.metric, kind=self.store_kind,
+                        q_norm=None if qn is None else qn[i : i + 1],
+                    )
+                )[0]
+                chosen = [int(x) for x in s if x >= 0]
+                self.set_links(node, l, chosen)
+                for nb in chosen:
+                    additions.setdefault((nb, l), []).append(node)
+
+        self._apply_reverse_edges(additions)
+
+        # --- entry point / max level ---
+        top = int(levels.max(initial=0))
+        if prev_ep < 0 or top > prev_max:
+            best = int(np.argmax(levels))
+            self.entry_id = ids[best]
+            self.max_level = int(levels[best])
+
+    def _upper_descend_single(self, q1, ctx, dev, udev, ep, from_level, node_level, qn1):
+        """Greedy descent from `from_level` down to `node_level + 1`."""
+        e_id = jnp.full((1,), ep, dtype=jnp.int32)
+        e_d = dists_to_ids(
+            q1, jnp.full((1, 1), ep, dtype=jnp.int32), ctx,
+            metric=self.metric, kind=self.store_kind, q_norm=qn1,
+        )[:, 0]
+        for l in range(from_level, node_level, -1):
+            e_id, e_d = greedy_level(
+                q1, ctx, udev["links"], dev["upper_row"], e_id, e_d,
+                jnp.int32(l), metric=self.metric, kind=self.store_kind, q_norm=qn1,
+            )
+        return e_id, e_d
+
+    def _apply_reverse_edges(self, additions: dict[tuple[int, int], list[int]]) -> None:
+        """Add new-node backlinks; re-prune overflowing rows on device.
+
+        Reference ``revisitNeighborConnections`` (hnsw.h:781-868): append if
+        room, otherwise re-run the diversity heuristic over old+new.
+        """
+        overflow: list[tuple[int, int, list[int]]] = []
+        for (nb, lvl), new_ids in additions.items():
+            cur = self.get_links(nb, lvl)
+            cur_set = set(cur)
+            fresh = [x for x in dict.fromkeys(new_ids) if x not in cur_set and x != nb]
+            if not fresh:
+                continue
+            cap_l = self.M0 if lvl == 0 else self.M
+            if len(cur) + len(fresh) <= cap_l:
+                self.set_links(nb, lvl, cur + fresh)
+            else:
+                overflow.append((nb, lvl, cur + fresh))
+        if overflow:
+            self._reprune_rows(overflow)
+
+    def _reprune_rows(self, rows: list[tuple[int, int, list[int]]]) -> None:
+        """Batched heuristic re-prune of (node, level, candidates) rows."""
+        dev, udev, ctx = self._device_ctx()
+        for lvl_zero in (True, False):
+            group = [r for r in rows if (r[1] == 0) == lvl_zero]
+            if not group:
+                continue
+            m = self.M0 if lvl_zero else self.M
+            C = max(len(c) for _, _, c in group)
+            B = len(group)
+            cand = np.full((B, C), -1, dtype=np.int32)
+            for bi, (_, _, c) in enumerate(group):
+                cand[bi, : len(c)] = c
+            nodes = np.asarray([g[0] for g in group], dtype=np.int32)
+            q = dev["data"][jnp.asarray(nodes)]
+            qn = None
+            if ctx.norm is not None:
+                qn = ctx.norm[jnp.asarray(nodes)]
+            cd = dists_to_ids(
+                q, jnp.asarray(cand), ctx, metric=self.metric,
+                kind=self.store_kind, q_norm=qn,
+            )
+            sel = np.asarray(
+                diversity_prune(
+                    q, jnp.asarray(cand), cd, ctx, m=m,
+                    metric=self.metric, kind=self.store_kind, q_norm=qn,
+                )
+            )
+            for bi, (node, lvl, _) in enumerate(group):
+                self.set_links(node, lvl, [int(x) for x in sel[bi] if x >= 0])
+
+    # ------------------------------------------------------------------
+    # Delete path (in-place: repair + swap, hnsw.h:946-1184)
+    # ------------------------------------------------------------------
+
+    def delete_vector(self, label: int) -> int:
+        with self._lock:
+            ids = self.labels.remove_label(label)
+            if not ids:
+                return 0
+            for node in sorted(ids, reverse=True):
+                self._delete_node(node)
+            self.store.maybe_shrink()
+            return len(ids)
+
+    def _referrers(self, node: int) -> list[tuple[int, int]]:
+        """All (referrer, level) with an edge -> node, via SoA scans."""
+        count = self.store.count
+        out = []
+        hit = np.nonzero((self.store.host["links0"][:count] == node).any(axis=1))[0]
+        out.extend((int(h), 0) for h in hit)
+        ucount = self.upper.count
+        if ucount:
+            ul = self.upper.host["links"][:ucount]
+            rows, lvls = np.nonzero((ul == node).any(axis=2))
+            vec = self.upper.host["vec"]
+            out.extend((int(vec[r]), int(l) + 1) for r, l in zip(rows, lvls))
+        return out
+
+    def _delete_node(self, node: int) -> None:
+        node_lvl = self.node_level(node)
+        # Repair each referrer: re-prune over (their links ∪ node's links).
+        repairs: list[tuple[int, int, list[int]]] = []
+        for ref, lvl in self._referrers(node):
+            if ref == node:
+                continue
+            own = [x for x in self.get_links(ref, lvl) if x != node]
+            borrowed = (
+                [x for x in self.get_links(node, lvl) if x != ref and x != node]
+                if lvl <= node_lvl
+                else []
+            )
+            cand = list(dict.fromkeys(own + borrowed))
+            cap_l = self.M0 if lvl == 0 else self.M
+            if len(cand) <= cap_l and not borrowed:
+                self.set_links(ref, lvl, cand)
+            else:
+                repairs.append((ref, lvl, cand))
+        if repairs:
+            self._reprune_rows(repairs)
+        # Entry point replacement (hnsw.h:1045-1120 semantics).
+        if self.entry_id == node:
+            self._replace_entry_point(exclude=node)
+        # Remove upper row if any.
+        self._remove_upper_row(node)
+        # Swap-with-last + reference rewrites.
+        self._swap_remove(node)
+
+    def _replace_entry_point(self, exclude: int) -> None:
+        count = self.store.count
+        levels = self.store.host["level"][:count]
+        flags = self.store.host["flags"][:count]
+        while self.max_level >= 0:
+            cands = np.nonzero(
+                (levels == self.max_level)
+                & (np.arange(count) != exclude)
+                & (flags & FLAG_DELETED == 0)
+            )[0]
+            if len(cands):
+                self.entry_id = int(cands[0])
+                return
+            self.max_level -= 1
+        # fall back: any live node
+        live = np.nonzero((np.arange(count) != exclude) & (flags & FLAG_DELETED == 0))[0]
+        if len(live):
+            self.entry_id = int(live[0])
+            self.max_level = int(levels[live[0]])
+        else:
+            self.entry_id = -1
+            self.max_level = -1
+
+    def _remove_upper_row(self, node: int) -> None:
+        r = int(self.store.host["upper_row"][node])
+        if r < 0:
+            return
+        last = self.upper.count - 1
+        moved_vec = int(self.upper.host["vec"][last])
+        self.upper.swap_delete(r)
+        if r != last:
+            self.store.host["upper_row"][moved_vec] = r
+            self.store.mark_dirty(moved_vec)
+        self.store.host["upper_row"][node] = -1
+        self.store.mark_dirty(node)
+
+    def _swap_remove(self, node: int) -> None:
+        last = self.store.count - 1
+        if node != last:
+            # Rewrite references to `last` -> `node` before moving the row.
+            for ref, lvl in self._referrers(last):
+                links = [node if x == last else x for x in self.get_links(ref, lvl)]
+                self.set_links(ref if ref != last else node, lvl, links)
+            r = int(self.store.host["upper_row"][last])
+            if r >= 0:
+                self.upper.host["vec"][r] = node
+                self.upper.mark_dirty(r)
+            moved_label = int(self.store.host["label"][last])
+            # Tombstoned rows are no longer in the label map (mark_delete
+            # removed them); only live rows need the relocation recorded.
+            if self.multi:
+                if moved_label in self.labels and last in self.labels.label_to_ids.get(moved_label, ()):
+                    self.labels.on_swap(moved_label, last, node)
+            elif self.labels.label_to_id.get(moved_label) == last:
+                self.labels.on_swap(moved_label, node)
+            if self.entry_id == last:
+                self.entry_id = node
+        self.store.swap_delete(node)
+
+    # ------------------------------------------------------------------
+    # Tombstones (tiered async delete: markDelete, hnsw.h:430-445)
+    # ------------------------------------------------------------------
+
+    def _delete_node_tombstoned(self, node: int) -> None:
+        """Physically remove a tombstoned node (its label map entry is gone).
+
+        The tiered GC path: repair neighbors + swap, exactly like
+        ``_delete_node`` (removeAndSwapMarkDeletedElement, hnsw.h:1694)."""
+        self.store.host["flags"][node] &= ~np.uint8(FLAG_DELETED)
+        self.store.mark_dirty(node)
+        self._delete_node(node)
+
+    def mark_delete(self, label: int) -> list[int]:
+        """Tombstone all vectors of a label; they stay traversable."""
+        with self._lock:
+            ids = self.labels.remove_label(label)
+            for node in ids:
+                self.store.host["flags"][node] |= FLAG_DELETED
+                self.store.mark_dirty(node)
+                self.num_marked_deleted += 1
+            if self.entry_id in ids:
+                self._replace_entry_point(exclude=self.entry_id)
+            return ids
+
+    # ------------------------------------------------------------------
+    # Read path
+    # ------------------------------------------------------------------
+
+    def _effective_ef(self, k: int, params: Optional[VecSimQueryParams]) -> int:
+        ef = self.ef_runtime
+        if params is not None and params.hnswRuntimeParams.efRuntime:
+            ef = params.hnswRuntimeParams.efRuntime
+        return max(ef, k)
+
+    def search_knn(self, queries: np.ndarray, k: int, ef: int):
+        """Device graph search; returns (dists [B, ef'], ids [B, ef'])."""
+        count = self.store.count
+        q, qnorms = self.preprocess_queries(queries)
+        nq = len(q)
+        bpad = pow2_bucket(nq)
+        if bpad != nq:
+            q = np.concatenate([q, np.repeat(q[-1:], bpad - nq, axis=0)])
+            if qnorms is not None:
+                qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], bpad - nq)])
+        dev, udev, ctx = self._device_ctx()
+        qd = jnp.asarray(q)
+        qn = None if qnorms is None else jnp.asarray(qnorms)
+        ep = self.entry_id
+        cur = jnp.full((bpad,), ep, dtype=jnp.int32)
+        cur_d = dists_to_ids(
+            qd, jnp.full((bpad, 1), ep, dtype=jnp.int32), ctx,
+            metric=self.metric, kind=self.store_kind, q_norm=qn,
+        )[:, 0]
+        for l in range(self.max_level, 0, -1):
+            cur, cur_d = greedy_level(
+                qd, ctx, udev["links"], dev["upper_row"], cur, cur_d,
+                jnp.int32(l), metric=self.metric, kind=self.store_kind, q_norm=qn,
+            )
+        ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(count), 1))
+        bd, bi = beam_search(
+            qd, ctx, dev["links0"], None, cur, cur_d, self.store.capacity,
+            ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn,
+        )
+        return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
+
+    def topk_query(
+        self, query: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> QueryReply:
+        return self.topk_query_batch(np.asarray(query).reshape(1, -1), k, params)[0]
+
+    def topk_query_batch(
+        self, queries: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> list[QueryReply]:
+        self.last_mode = VecSearchMode.STANDARD_KNN
+        budget = TimeoutBudget(params.timeoutCtx if params else None)
+        nq = len(np.atleast_2d(queries))
+        if budget.expired():
+            return [make_reply([], [], VecSimQueryReplyCode.TimedOut) for _ in range(nq)]
+        if self.store.count == 0 or self.entry_id < 0 or k <= 0:
+            return [make_reply([], []) for _ in range(nq)]
+        ef = self._effective_ef(k, params)
+        # Tombstone allowance: flagged nodes are filtered post-search.
+        ef += min(self.num_marked_deleted, ef)
+        dists, ids = self.search_knn(np.atleast_2d(queries), k, ef)
+        out = []
+        flags = self.store.host["flags"]
+        id_to_label = self.store.host["label"]
+        for b in range(nq):
+            row_i, row_d = ids[b], dists[b]
+            valid = row_i >= 0
+            row_i, row_d = row_i[valid], row_d[valid]
+            live = (flags[row_i] & FLAG_DELETED) == 0
+            row_i, row_d = row_i[live], row_d[live]
+            labels = id_to_label[row_i]
+            if self.multi:
+                seen: dict[int, int] = {}
+                keep = []
+                for j, lab in enumerate(labels):
+                    if int(lab) not in seen:
+                        seen[int(lab)] = j
+                        keep.append(j)
+                keep = keep[:k]
+                out.append(make_reply(labels[keep], row_d[keep]))
+            else:
+                out.append(make_reply(labels[:k], row_d[:k]))
+        if budget.expired():
+            for r in out:
+                r.code = VecSimQueryReplyCode.TimedOut
+        return out
+
+    def range_query(
+        self,
+        query: np.ndarray,
+        radius: float,
+        params: Optional[VecSimQueryParams] = None,
+        order: QueryReplyOrder = QueryReplyOrder.BY_SCORE,
+    ) -> QueryReply:
+        """Epsilon-range search (hnsw.h:1991-2092): explore the
+        radius*(1+epsilon) neighborhood, return nodes within radius.
+
+        Implemented as beam search with doubling ef until the beam frontier
+        exceeds the epsilon boundary (all boundary nodes explored)."""
+        self.last_mode = VecSearchMode.RANGE_QUERY
+        budget = TimeoutBudget(params.timeoutCtx if params else None)
+        if budget.expired():
+            return make_reply([], [], VecSimQueryReplyCode.TimedOut)
+        if self.store.count == 0 or self.entry_id < 0:
+            return make_reply([], [])
+        eps = self.epsilon
+        if params is not None and params.hnswRuntimeParams.epsilon:
+            eps = params.hnswRuntimeParams.epsilon
+        boundary = radius * (1.0 + eps)
+        ef = 32
+        q2 = np.asarray(query).reshape(1, -1)
+        while True:
+            dists, ids = self.search_knn(q2, 1, ef)
+            d, i = dists[0], ids[0]
+            finite = np.isfinite(d)
+            if ef >= self.store.count or not finite.any():
+                break
+            worst = d[finite].max()
+            if worst > boundary or finite.sum() < ef:
+                break
+            if budget.expired():
+                break
+            ef *= 2
+        valid = (i >= 0) & (d <= radius)
+        row_i = i[valid]
+        flags = self.store.host["flags"]
+        live = (flags[row_i] & FLAG_DELETED) == 0
+        row_i, row_d = row_i[live], d[valid][live]
+        labels = self.store.host["label"][row_i]
+        if self.multi:
+            reply = make_reply(labels, row_d)
+            from ..core.results import filter_results_by_id
+
+            reply = filter_results_by_id(reply)
+        else:
+            reply = make_reply(labels, row_d)
+        if budget.expired():
+            reply.code = VecSimQueryReplyCode.TimedOut
+        return reply.sort(order)
+
+    def get_distance_from(self, label: int, blob: np.ndarray) -> float:
+        ids = self.labels.ids_of(label)
+        if not ids:
+            return float("nan")
+        q, qnorms = self.preprocess_queries(np.asarray(blob).reshape(1, -1))
+        qn = None if qnorms is None else qnorms[0]
+        return min(self.host_distance(i, q[0], qn) for i in ids)
+
+    def new_batch_iterator(self, query: np.ndarray, params: Optional[VecSimQueryParams] = None):
+        from .hnsw_batch_iterator import HNSWBatchIterator
+
+        return HNSWBatchIterator(self, query, params)
+
+    # ------------------------------------------------------------------
+    # Hybrid-policy heuristic (hnsw.h:2179-2313, sklearn decision tree)
+    # ------------------------------------------------------------------
+
+    def prefer_adhoc_search(self, subset_size: int, k: int, initial_check: bool = False) -> bool:
+        index_size = self.index_size
+        subset_size = min(subset_size, index_size)
+        d = self.dim
+        M = self.M
+        r = 0.0 if index_size == 0 else subset_size / max(self.index_label_count, 1)
+        if index_size <= 30000:
+            if index_size <= 5500:
+                res = True
+            elif r <= 0.17:
+                res = True
+            elif k <= 12:
+                if d <= 55:
+                    res = False
+                else:
+                    res = M > 10
+            else:
+                res = True
+        else:
+            if r < 0.07:
+                if index_size <= 750000:
+                    res = True
+                elif k <= 7:
+                    res = False
+                else:
+                    res = r <= 0.03
+            else:
+                if d <= 75:
+                    res = False
+                elif k <= 12:
+                    if r <= 0.21:
+                        if M <= 57:
+                            res = index_size <= 75000
+                        else:
+                            res = True
+                    else:
+                        res = False
+                else:
+                    if M <= 10:
+                        res = r <= 0.17
+                    elif index_size <= 300000:
+                        res = True
+                    else:
+                        res = r <= 0.17
+        self.last_mode = (
+            (VecSearchMode.HYBRID_ADHOC_BF if initial_check else VecSearchMode.HYBRID_BATCHES_TO_ADHOC_BF)
+            if res
+            else VecSearchMode.HYBRID_BATCHES
+        )
+        return res
+
+    # ------------------------------------------------------------------
+    # Info
+    # ------------------------------------------------------------------
+
+    def basic_info(self):
+        return self._basic_info(VecSimAlgo.HNSWLIB)
+
+    def stats_info(self) -> VecSimIndexStatsInfo:
+        return VecSimIndexStatsInfo(
+            memory=self.memory_bytes + self.upper.memory_bytes,
+            numberOfMarkedDeleted=self.num_marked_deleted,
+        )
+
+    def debug_info(self) -> VecSimIndexDebugInfo:
+        ep_label = INVALID_LABEL
+        if self.entry_id >= 0:
+            ep_label = int(self.store.host["label"][self.entry_id])
+        return VecSimIndexDebugInfo(
+            commonInfo=CommonInfo(
+                basicInfo=self.basic_info(),
+                indexSize=self.index_size,
+                indexLabelCount=self.index_label_count,
+                memory=self.memory_bytes + self.upper.memory_bytes,
+                lastMode=self.last_mode,
+            ),
+            hnswInfo=HnswInfo(
+                M=self.M,
+                efConstruction=self.ef_construction,
+                efRuntime=self.ef_runtime,
+                epsilon=self.epsilon,
+                max_level=max(self.max_level, 0),
+                entrypoint=ep_label,
+                visitedNodesPoolSize=0,
+                numberOfMarkedDeletedNodes=self.num_marked_deleted,
+            ),
+        )
+
+    def get_element_neighbors(self, label: int):
+        """Debug parity: VecSimDebug_GetElementNeighborsInHNSWGraph
+        (vec_sim_debug.h:37-44, hnsw.h:2317-2345)."""
+        ids = self.labels.ids_of(label)
+        if not ids:
+            return None
+        out = []
+        for node in ids:
+            per_level = []
+            for l in range(0, self.node_level(node) + 1):
+                per_level.append([int(self.store.host["label"][x]) for x in self.get_links(node, l)])
+            out.append(per_level)
+        return out

@@ -1,0 +1,637 @@
+"""SVS-Vamana index — single-layer proximity graph with alpha pruning.
+
+The reference wraps Intel ScalableVectorSearch (``algorithms/svs/svs.h:76-815``,
+external dep): a MutableVamanaIndex with graph degree ``graph_max_degree``,
+construction window ``construction_window_size``, alpha-robust pruning, and
+optional LVQ/LeanVec compression. This is a from-scratch TPU-native Vamana:
+
+  - one flat SoA adjacency (``links`` [cap, R]) searched by the same jitted
+    ``beam_search`` kernel as HNSW's level 0 (medoid entry point instead of a
+    level hierarchy);
+  - construction = batched candidate search + ``diversity_prune`` with the
+    Vamana rule (alpha * d(kept, c) <= d(q, c) discards; alpha defaults
+    1.2 for L2 / 0.95 for IP-like, vec_sim_common.h:41-42);
+  - compression: quantBits NONE keeps the raw dtype; Scalar/Q8 store SQ8
+    codes searched with the asymmetric kernels (ops.quantize); the 4-bit and
+    LeanVec modes fall back to the nearest supported mode with a log, the
+    same graceful fallback the reference factory performs when a mode is
+    unavailable on the target ISA (svs_factory.cpp:64-117).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.abstract_index import DeviceVectorIndex, pow2_bucket
+from ..core.interface import TimeoutBudget
+from ..core.results import QueryReply, make_reply
+from ..core.store import FieldSpec
+from ..ops.graph_search import StoreCtx, beam_search, dists_to_ids, diversity_prune
+from ..ops.quantize import sq8_quantize
+from ..types import (
+    CommonInfo,
+    QueryReplyOrder,
+    SVSParams,
+    SvsInfo,
+    SVS_VAMANA_DEFAULT_ALPHA_IP,
+    SVS_VAMANA_DEFAULT_ALPHA_L2,
+    SVS_VAMANA_DEFAULT_CONSTRUCTION_WINDOW_SIZE,
+    SVS_VAMANA_DEFAULT_EPSILON,
+    SVS_VAMANA_DEFAULT_GRAPH_MAX_DEGREE,
+    SVS_VAMANA_DEFAULT_SEARCH_WINDOW_SIZE,
+    VecSearchMode,
+    VecSimAlgo,
+    VecSimIndexDebugInfo,
+    VecSimIndexStatsInfo,
+    VecSimMetric,
+    VecSimQueryParams,
+    VecSimQueryReplyCode,
+    VecSimSvsQuantBits,
+    VecSimType,
+)
+
+FLAG_DELETED = 1
+
+_SQ8_MODES = {
+    VecSimSvsQuantBits.Scalar,
+    VecSimSvsQuantBits.Q8,
+    VecSimSvsQuantBits.Q4,
+    VecSimSvsQuantBits.Q4x4,
+    VecSimSvsQuantBits.Q4x8,
+    VecSimSvsQuantBits.Q4x8_LeanVec,
+    VecSimSvsQuantBits.Q8x8_LeanVec,
+}
+
+
+class SVSIndex(DeviceVectorIndex):
+    def __init__(self, params: SVSParams, log_ctx: Any = None):
+        self.R = params.graph_max_degree or SVS_VAMANA_DEFAULT_GRAPH_MAX_DEGREE
+        self.L_build = (
+            params.construction_window_size or SVS_VAMANA_DEFAULT_CONSTRUCTION_WINDOW_SIZE
+        )
+        self.ws = params.search_window_size or SVS_VAMANA_DEFAULT_SEARCH_WINDOW_SIZE
+        self.epsilon = params.epsilon or SVS_VAMANA_DEFAULT_EPSILON
+        metric = VecSimMetric(params.metric)
+        self.alpha = params.alpha or (
+            SVS_VAMANA_DEFAULT_ALPHA_L2 if metric == VecSimMetric.L2 else SVS_VAMANA_DEFAULT_ALPHA_IP
+        )
+        # In Vamana, alpha>1 RELAXES pruning for L2 (keeps more diverse
+        # edges): candidate discarded when alpha*d(kept,c) <= d(q,c) means a
+        # larger alpha discards FEWER... for our rule (discard when
+        # alpha*pair < qd) alpha>1 discards more; invert to 1/alpha so
+        # alpha=1.2 keeps the classic Vamana behavior of pruning less
+        # aggressively than HNSW's alpha=1.
+        self._prune_alpha = 1.0 / self.alpha if self.alpha > 0 else 1.0
+
+        quant = VecSimSvsQuantBits(params.quantBits)
+        self.requested_quant = quant
+        if quant in _SQ8_MODES and quant not in (
+            VecSimSvsQuantBits.Scalar,
+            VecSimSvsQuantBits.Q8,
+        ):
+            # Graceful fallback, mirroring the reference factory's behavior
+            # when a quant flavor is unsupported on the target.
+            quant = VecSimSvsQuantBits.Scalar
+        self.quant = quant
+        self.is_sq8 = quant in (VecSimSvsQuantBits.Scalar, VecSimSvsQuantBits.Q8)
+
+        extra: dict[str, FieldSpec] = {
+            "links": FieldSpec((self.R,), np.int32, fill=-1),
+            "nlinks": FieldSpec((), np.int32),
+            "flags": FieldSpec((), np.uint8),
+        }
+        if self.is_sq8:
+            extra["vmin"] = FieldSpec((), np.float32)
+            extra["delta"] = FieldSpec((), np.float32)
+
+        super().__init__(
+            vtype=params.type,
+            dim=params.dim,
+            metric=params.metric,
+            multi=params.multi,
+            block_size=params.blockSize,
+            log_ctx=log_ctx,
+            extra_fields=extra,
+        )
+        if self.is_sq8:
+            # Storage holds uint8 codes; metadata fields carry the scale.
+            self.store.fields["data"] = FieldSpec((self.dim,), np.uint8)
+            self.store._resize(self.store.capacity)  # re-materialize data field
+            if self.metric == VecSimMetric.L2 and "sqnorm" not in self.store.fields:
+                self.store.fields["sqnorm"] = FieldSpec((), np.float32)
+                self.store._resize(self.store.capacity)
+            self.store_kind = "sq8"
+        self.params = params
+        self.entry_id = -1
+        self.num_marked_deleted = 0
+        self._inserts_since_medoid = 0
+
+    # ------------------------------------------------------------------
+    # Preprocessing (quantizing storage pipeline)
+    # ------------------------------------------------------------------
+
+    def preprocess_storage(self, blob: np.ndarray) -> dict[str, np.ndarray]:
+        if not self.is_sq8:
+            return super().preprocess_storage(blob)
+        arr = np.asarray(blob, dtype=np.float32 if self.np_dtype != np.float64 else np.float64)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if self.metric == VecSimMetric.Cosine:
+            arr = self._normalize_rows(arr.astype(np.float32))
+        arr = arr.astype(np.float32)
+        codes, vmin, delta, xsum, xsumsq = sq8_quantize(jnp.asarray(arr))
+        rows = {
+            "data": np.asarray(codes),
+            "vmin": np.asarray(vmin),
+            "delta": np.asarray(delta),
+        }
+        if "sqnorm" in self.store.fields:
+            rows["sqnorm"] = np.asarray(xsumsq)
+        return rows
+
+    def preprocess_queries(self, queries: np.ndarray):
+        if not self.is_sq8:
+            q, qn = super().preprocess_queries(queries)
+            return q, qn, None
+        arr = np.asarray(queries, dtype=np.float32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if self.metric == VecSimMetric.Cosine:
+            arr = self._normalize_rows(arr)
+        ysum = arr.sum(axis=-1, dtype=np.float32)
+        ysumsq = (arr.astype(np.float32) ** 2).sum(axis=-1, dtype=np.float32)
+        return arr, None, (ysum, ysumsq)
+
+    def _ctx(self, dev) -> StoreCtx:
+        return StoreCtx(
+            data=dev["data"],
+            sqnorm=dev.get("sqnorm"),
+            norm=dev.get("norm"),
+            vmin=dev.get("vmin"),
+            delta=dev.get("delta"),
+        )
+
+    # ------------------------------------------------------------------
+    # Host link accessors
+    # ------------------------------------------------------------------
+
+    def get_links(self, node: int) -> list[int]:
+        n = int(self.store.host["nlinks"][node])
+        return self.store.host["links"][node, :n].tolist()
+
+    def set_links(self, node: int, ids: list[int]) -> None:
+        assert len(ids) <= self.R
+        row = self.store.host["links"][node]
+        row[: len(ids)] = ids
+        row[len(ids) :] = -1
+        self.store.host["nlinks"][node] = len(ids)
+        self.store.mark_dirty(node)
+
+    # ------------------------------------------------------------------
+    # Medoid entry point
+    # ------------------------------------------------------------------
+
+    def _update_medoid(self) -> None:
+        """Entry point = vector closest to the dataset mean (approx medoid)."""
+        count = self.store.count
+        if count == 0:
+            self.entry_id = -1
+            return
+        dev = self.store.device_arrays()
+        data = dev["data"]
+        if self.is_sq8:
+            data = dev["vmin"][:, None] + dev["delta"][:, None] * data.astype(jnp.float32)
+        else:
+            data = data.astype(jnp.float32)
+        mask = (jnp.arange(data.shape[0]) < count)[:, None]
+        mean = jnp.sum(jnp.where(mask, data, 0.0), axis=0) / count
+        d = jnp.sum((data - mean[None, :]) ** 2, axis=-1)
+        d = jnp.where(mask[:, 0], d, jnp.inf)
+        self.entry_id = int(jnp.argmin(d))
+        self._inserts_since_medoid = 0
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+
+    def add_vector(self, blob: np.ndarray, label: int) -> int:
+        return self.add_vector_batch(np.asarray(blob).reshape(1, -1), [label])
+
+    def add_vector_batch(self, vecs: np.ndarray, labels) -> int:
+        labels = [int(l) for l in labels]
+        with self._lock:
+            overwrite: list[int] = []
+            if not self.multi:
+                overwrite = [l for l in labels if l in self.labels]
+                for l in overwrite:
+                    self.delete_vector(l)
+            vecs = np.atleast_2d(np.asarray(vecs))
+            rows = self.preprocess_storage(vecs)
+            n = len(labels)
+            rows["label"] = np.asarray(labels, dtype=np.int64)
+            ids = [int(x) for x in self.store.append(rows)]
+            for i, node in enumerate(ids):
+                if self.multi:
+                    slot = self.labels.add(labels[i], node)
+                    self.store.host["slot"][node] = slot
+                    self.store.mark_dirty(node)
+                else:
+                    self.labels.add(labels[i], node)
+            self._connect_batch(ids, vecs)
+            self._inserts_since_medoid += n
+            if self.entry_id < 0 or self._inserts_since_medoid * 8 > self.store.count:
+                self._update_medoid()
+            return n if not overwrite else n - len(overwrite)
+
+    def _q_dev(self, ids):
+        """Float query views of freshly stored rows (reconstructed for sq8)."""
+        if self.is_sq8:
+            codes = self.store.host["data"][ids].astype(np.float32)
+            vmin = self.store.host["vmin"][ids][:, None]
+            delta = self.store.host["delta"][ids][:, None]
+            q = vmin + delta * codes
+            ysum = q.sum(-1, dtype=np.float32)
+            ysumsq = (q * q).sum(-1, dtype=np.float32)
+            return q.astype(np.float32), None, (ysum, ysumsq)
+        q = self.store.host["data"][ids]
+        if q.dtype == np.float64 and not jnp.zeros(0).dtype == jnp.float64:
+            q = q.astype(np.float32)
+        qn = None
+        if "norm" in self.store.fields and self.metric == VecSimMetric.Cosine:
+            qn = self.store.host["norm"][ids]
+        return q, qn, None
+
+    def _connect_batch(self, ids: list[int], raw_vecs: np.ndarray) -> None:
+        prev_entry = self.entry_id
+        n = len(ids)
+        q_host, qn_host, qmeta_host = self._q_dev(ids)
+        dev = self.store.device_arrays()
+        ctx = self._ctx(dev)
+        q = jnp.asarray(q_host)
+        qn = None if qn_host is None else jnp.asarray(qn_host)
+        qm = None if qmeta_host is None else tuple(jnp.asarray(x) for x in qmeta_host)
+        L = self.L_build
+        cap = self.store.capacity
+
+        beam_i = np.full((n, L), -1, dtype=np.int32)
+        beam_d = np.full((n, L), np.inf, dtype=np.float32)
+        if prev_entry >= 0:
+            e = jnp.full((n,), prev_entry, dtype=jnp.int32)
+            ed = dists_to_ids(
+                q, jnp.full((n, 1), prev_entry, dtype=jnp.int32), ctx,
+                metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
+            )[:, 0]
+            bd, bi = beam_search(
+                q, ctx, dev["links"], None, e, ed, cap,
+                ef=L, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
+            )
+            beam_d, beam_i = np.asarray(bd), np.asarray(bi)
+
+        if n > 1:
+            pair = np.array(
+                dists_to_ids(
+                    q, jnp.broadcast_to(jnp.asarray(ids, dtype=jnp.int32)[None, :], (n, n)),
+                    ctx, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
+                )
+            )
+            np.fill_diagonal(pair, np.inf)
+        else:
+            pair = np.full((1, 1), np.inf, dtype=np.float32)
+        batch_ids = np.asarray(ids, dtype=np.int32)
+
+        cand_i = np.concatenate([beam_i, np.broadcast_to(batch_ids, (n, n))], axis=1)
+        cand_d = np.concatenate([beam_d, pair], axis=1)
+        sel = np.asarray(
+            diversity_prune(
+                q, jnp.asarray(cand_i), jnp.asarray(cand_d), ctx,
+                m=self.R, metric=self.metric, kind=self.store_kind,
+                alpha=self._prune_alpha, q_norm=qn,
+            )
+        )
+        additions: dict[int, list[int]] = {}
+        for i, node in enumerate(ids):
+            chosen = [int(x) for x in sel[i] if x >= 0]
+            self.set_links(node, chosen)
+            for nb in chosen:
+                additions.setdefault(nb, []).append(node)
+        self._apply_reverse_edges(additions)
+
+    def _apply_reverse_edges(self, additions: dict[int, list[int]]) -> None:
+        overflow: list[tuple[int, list[int]]] = []
+        for nb, new_ids in additions.items():
+            cur = self.get_links(nb)
+            cur_set = set(cur)
+            fresh = [x for x in dict.fromkeys(new_ids) if x not in cur_set and x != nb]
+            if not fresh:
+                continue
+            if len(cur) + len(fresh) <= self.R:
+                self.set_links(nb, cur + fresh)
+            else:
+                overflow.append((nb, cur + fresh))
+        if overflow:
+            self._reprune_rows(overflow)
+
+    def _reprune_rows(self, rows: list[tuple[int, list[int]]]) -> None:
+        dev = self.store.device_arrays()
+        ctx = self._ctx(dev)
+        C = max(len(c) for _, c in rows)
+        B = len(rows)
+        cand = np.full((B, C), -1, dtype=np.int32)
+        for bi, (_, c) in enumerate(rows):
+            cand[bi, : len(c)] = c
+        nodes = [r[0] for r in rows]
+        q_host, qn_host, qmeta_host = self._q_dev(nodes)
+        q = jnp.asarray(q_host)
+        qn = None if qn_host is None else jnp.asarray(qn_host)
+        qm = None if qmeta_host is None else tuple(jnp.asarray(x) for x in qmeta_host)
+        cd = dists_to_ids(
+            q, jnp.asarray(cand), ctx, metric=self.metric, kind=self.store_kind,
+            q_norm=qn, q_meta=qm,
+        )
+        sel = np.asarray(
+            diversity_prune(
+                q, jnp.asarray(cand), cd, ctx, m=self.R,
+                metric=self.metric, kind=self.store_kind,
+                alpha=self._prune_alpha, q_norm=qn,
+            )
+        )
+        for bi, (node, _) in enumerate(rows):
+            self.set_links(node, [int(x) for x in sel[bi] if x >= 0])
+
+    # ------------------------------------------------------------------
+    # Delete path
+    # ------------------------------------------------------------------
+
+    def delete_vector(self, label: int) -> int:
+        with self._lock:
+            ids = self.labels.remove_label(label)
+            if not ids:
+                return 0
+            for node in sorted(ids, reverse=True):
+                self._delete_node(node)
+            self.store.maybe_shrink()
+            if self.entry_id >= self.store.count:
+                self._update_medoid()
+            return len(ids)
+
+    def _referrers(self, node: int) -> list[int]:
+        count = self.store.count
+        hit = np.nonzero((self.store.host["links"][:count] == node).any(axis=1))[0]
+        return [int(h) for h in hit]
+
+    def _delete_node(self, node: int) -> None:
+        repairs: list[tuple[int, list[int]]] = []
+        own_links = self.get_links(node)
+        for ref in self._referrers(node):
+            if ref == node:
+                continue
+            own = [x for x in self.get_links(ref) if x != node]
+            borrowed = [x for x in own_links if x != ref and x != node]
+            cand = list(dict.fromkeys(own + borrowed))
+            if not borrowed and len(cand) <= self.R:
+                self.set_links(ref, cand)
+            else:
+                repairs.append((ref, cand))
+        if repairs:
+            self._reprune_rows(repairs)
+        self._swap_remove(node)
+        if self.entry_id == node or self.entry_id >= self.store.count:
+            self._update_medoid()
+
+    def _swap_remove(self, node: int) -> None:
+        last = self.store.count - 1
+        if node != last:
+            for ref in self._referrers(last):
+                links = [node if x == last else x for x in self.get_links(ref)]
+                self.set_links(ref if ref != last else node, links)
+            moved_label = int(self.store.host["label"][last])
+            if self.multi:
+                if moved_label in self.labels and last in self.labels.label_to_ids.get(moved_label, ()):
+                    self.labels.on_swap(moved_label, last, node)
+            elif self.labels.label_to_id.get(moved_label) == last:
+                self.labels.on_swap(moved_label, node)
+            if self.entry_id == last:
+                self.entry_id = node
+        self.store.swap_delete(node)
+
+    def mark_delete(self, label: int) -> list[int]:
+        with self._lock:
+            ids = self.labels.remove_label(label)
+            for node in ids:
+                self.store.host["flags"][node] |= FLAG_DELETED
+                self.store.mark_dirty(node)
+                self.num_marked_deleted += 1
+            return ids
+
+    def _delete_node_tombstoned(self, node: int) -> None:
+        self.store.host["flags"][node] &= ~np.uint8(FLAG_DELETED)
+        self.store.mark_dirty(node)
+        self._delete_node(node)
+
+    # ------------------------------------------------------------------
+    # Read path
+    # ------------------------------------------------------------------
+
+    def _effective_ws(self, k: int, params: Optional[VecSimQueryParams]) -> int:
+        ws = self.ws
+        if params is not None and params.svsRuntimeParams.windowSize:
+            ws = params.svsRuntimeParams.windowSize
+        if params is not None and params.svsRuntimeParams.bufferCapacity:
+            ws = max(ws, params.svsRuntimeParams.bufferCapacity)
+        return max(ws, k)
+
+    def search_knn(self, queries: np.ndarray, k: int, ef: int):
+        count = self.store.count
+        q, qnorms, qmeta = self.preprocess_queries(queries)
+        nq = len(q)
+        bpad = pow2_bucket(nq)
+        if bpad != nq:
+            pad = bpad - nq
+            q = np.concatenate([q, np.repeat(q[-1:], pad, axis=0)])
+            if qnorms is not None:
+                qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], pad)])
+            if qmeta is not None:
+                qmeta = tuple(np.concatenate([m, np.repeat(m[-1:], pad)]) for m in qmeta)
+        dev = self.store.device_arrays()
+        ctx = self._ctx(dev)
+        qd = jnp.asarray(q)
+        qn = None if qnorms is None else jnp.asarray(qnorms)
+        qm = None if qmeta is None else tuple(jnp.asarray(m) for m in qmeta)
+        ep = self.entry_id
+        e = jnp.full((bpad,), ep, dtype=jnp.int32)
+        ed = dists_to_ids(
+            qd, jnp.full((bpad, 1), ep, dtype=jnp.int32), ctx,
+            metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
+        )[:, 0]
+        ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(count), 1))
+        bd, bi = beam_search(
+            qd, ctx, dev["links"], None, e, ed, self.store.capacity,
+            ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
+        )
+        return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
+
+    def topk_query(
+        self, query: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> QueryReply:
+        return self.topk_query_batch(np.asarray(query).reshape(1, -1), k, params)[0]
+
+    def topk_query_batch(
+        self, queries: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> list[QueryReply]:
+        self.last_mode = VecSearchMode.STANDARD_KNN
+        budget = TimeoutBudget(params.timeoutCtx if params else None)
+        nq = len(np.atleast_2d(queries))
+        if budget.expired():
+            return [make_reply([], [], VecSimQueryReplyCode.TimedOut) for _ in range(nq)]
+        if self.store.count == 0 or self.entry_id < 0 or k <= 0:
+            return [make_reply([], []) for _ in range(nq)]
+        ws = self._effective_ws(k, params)
+        ws += min(self.num_marked_deleted, ws)
+        dists, ids = self.search_knn(np.atleast_2d(queries), k, ws)
+        out = []
+        flags = self.store.host["flags"]
+        id_to_label = self.store.host["label"]
+        for b in range(nq):
+            row_i, row_d = ids[b], dists[b]
+            valid = row_i >= 0
+            row_i, row_d = row_i[valid], row_d[valid]
+            live = (flags[row_i] & FLAG_DELETED) == 0
+            row_i, row_d = row_i[live], row_d[live]
+            labels = id_to_label[row_i]
+            if self.multi:
+                seen: set[int] = set()
+                keep = []
+                for j, lab in enumerate(labels):
+                    if int(lab) not in seen:
+                        seen.add(int(lab))
+                        keep.append(j)
+                keep = keep[:k]
+                out.append(make_reply(labels[keep], row_d[keep]))
+            else:
+                out.append(make_reply(labels[:k], row_d[:k]))
+        if budget.expired():
+            for r in out:
+                r.code = VecSimQueryReplyCode.TimedOut
+        return out
+
+    def range_query(
+        self,
+        query: np.ndarray,
+        radius: float,
+        params: Optional[VecSimQueryParams] = None,
+        order: QueryReplyOrder = QueryReplyOrder.BY_SCORE,
+    ) -> QueryReply:
+        self.last_mode = VecSearchMode.RANGE_QUERY
+        budget = TimeoutBudget(params.timeoutCtx if params else None)
+        if budget.expired():
+            return make_reply([], [], VecSimQueryReplyCode.TimedOut)
+        if self.store.count == 0 or self.entry_id < 0:
+            return make_reply([], [])
+        eps = self.epsilon
+        if params is not None and params.svsRuntimeParams.epsilon:
+            eps = params.svsRuntimeParams.epsilon
+        boundary = radius * (1.0 + eps)
+        ef = max(self.ws, 32)
+        q2 = np.asarray(query).reshape(1, -1)
+        while True:
+            dists, ids = self.search_knn(q2, 1, ef)
+            d, i = dists[0], ids[0]
+            finite = np.isfinite(d)
+            if ef >= self.store.count or not finite.any():
+                break
+            if d[finite].max() > boundary or finite.sum() < ef:
+                break
+            if budget.expired():
+                break
+            ef *= 2
+        valid = (i >= 0) & (d <= radius)
+        row_i = i[valid]
+        flags = self.store.host["flags"]
+        live = (flags[row_i] & FLAG_DELETED) == 0
+        row_i, row_d = row_i[live], d[valid][live]
+        reply = make_reply(self.store.host["label"][row_i], row_d)
+        if self.multi:
+            from ..core.results import filter_results_by_id
+
+            reply = filter_results_by_id(reply)
+        if budget.expired():
+            reply.code = VecSimQueryReplyCode.TimedOut
+        return reply.sort(order)
+
+    def get_distance_from(self, label: int, blob: np.ndarray) -> float:
+        ids = self.labels.ids_of(label)
+        if not ids:
+            return float("nan")
+        if self.is_sq8:
+            q, _, qm = self.preprocess_queries(np.asarray(blob).reshape(1, -1))
+            best = np.inf
+            for i in ids:
+                codes = self.store.host["data"][i].astype(np.float32)
+                vmin = np.float32(self.store.host["vmin"][i])
+                delta = np.float32(self.store.host["delta"][i])
+                ip = vmin * qm[0][0] + delta * float(codes @ q[0])
+                if self.metric == VecSimMetric.L2:
+                    d = float(self.store.host["sqnorm"][i] - 2 * ip + qm[1][0])
+                else:
+                    d = float(1.0 - ip)
+                best = min(best, d)
+            return best
+        q, qnorms, _ = self.preprocess_queries(np.asarray(blob).reshape(1, -1))
+        qn = None if qnorms is None else qnorms[0]
+        return min(self.host_distance(i, q[0], qn) for i in ids)
+
+    def new_batch_iterator(self, query: np.ndarray, params: Optional[VecSimQueryParams] = None):
+        from .svs_batch_iterator import SVSBatchIterator
+
+        return SVSBatchIterator(self, query, params)
+
+    def prefer_adhoc_search(self, subset_size: int, k: int, initial_check: bool = False) -> bool:
+        # The reference SVS index reuses the generic heuristic family; apply
+        # the BF tree on the same features (svs.h preferAdHocSearch).
+        index_size = self.index_size
+        subset_size = min(subset_size, index_size)
+        r = 0.0 if index_size == 0 else subset_size / max(self.index_label_count, 1)
+        res = index_size <= 5500 or r <= 0.15
+        self.last_mode = (
+            (VecSearchMode.HYBRID_ADHOC_BF if initial_check else VecSearchMode.HYBRID_BATCHES_TO_ADHOC_BF)
+            if res
+            else VecSearchMode.HYBRID_BATCHES
+        )
+        return res
+
+    # ------------------------------------------------------------------
+    # Info
+    # ------------------------------------------------------------------
+
+    def basic_info(self):
+        info = self._basic_info(VecSimAlgo.SVS)
+        return info
+
+    def stats_info(self) -> VecSimIndexStatsInfo:
+        return VecSimIndexStatsInfo(
+            memory=self.memory_bytes,
+            numberOfMarkedDeleted=self.num_marked_deleted,
+        )
+
+    def debug_info(self) -> VecSimIndexDebugInfo:
+        return VecSimIndexDebugInfo(
+            commonInfo=CommonInfo(
+                basicInfo=self.basic_info(),
+                indexSize=self.index_size,
+                indexLabelCount=self.index_label_count,
+                memory=self.memory_bytes,
+                lastMode=self.last_mode,
+            ),
+            svsInfo=SvsInfo(
+                quantBits=self.requested_quant,
+                alpha=self.alpha,
+                graphMaxDegree=self.R,
+                constructionWindowSize=self.L_build,
+                numberOfMarkedDeletedNodes=self.num_marked_deleted,
+                searchWindowSize=self.ws,
+                epsilon=self.epsilon,
+            ),
+        )

@@ -1,0 +1,387 @@
+"""Tiered index — flat frontend (fast writes) + ANN backend (fast reads)
+with host-side async ingestion.
+
+Reference: ``vec_sim_tiered_index.h:26-444`` + ``algorithms/hnsw/hnsw_tiered.h``.
+The inversion-of-control contract is preserved: the index owns no threads; it
+submits ``AsyncJob``s through the caller-provided
+``submitCb(job_queue, job_queue_ctx, jobs, callbacks)``
+(``vec_sim_common.h:131-141``) and the host decides when/where they run
+(Redis worker threads in the reference; any Python executor here — see
+``utils/thread_pool.py`` for the test-pool equivalent of
+``tests/utils/mock_thread_pool.h``).
+
+Write path (``hnsw_tiered.h:719-818``): vectors land in the flat buffer and
+an ``HNSWInsertJob`` is queued; overwrites invalidate pending jobs; deletes
+invalidate jobs, tombstone the backend (``markDelete``) and accumulate swap
+work that is applied in batches once ``swapJobThreshold`` is reached
+(``executeReadySwapJobs``, ``hnsw_tiered.h:332-362``) or via ``runGC``.
+Reads query both tiers and merge with per-label dedup
+(``topKQueryImp``, ``vec_sim_tiered_index.h:169-219``).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Optional
+
+import numpy as np
+
+from ..core.interface import VecSimIndexBase
+from ..core.results import QueryReply, make_reply, merge_replies
+from ..types import (
+    CommonInfo,
+    DEFAULT_BLOCK_SIZE,
+    BFParams,
+    QueryReplyOrder,
+    TieredIndexParams,
+    TieredInfo,
+    VecSimAlgo,
+    VecSimIndexBasicInfo,
+    VecSimIndexDebugInfo,
+    VecSimIndexStatsInfo,
+    VecSimQueryParams,
+    VecSimQueryReplyCode,
+    VecSimWriteMode,
+)
+
+# Job types (vec_sim_common.h:271-282)
+HNSW_INSERT_VECTOR_JOB = 0
+HNSW_REPAIR_NODE_CONNECTIONS_JOB = 1
+HNSW_SWAP_JOB = 3
+SVS_BATCH_UPDATE_JOB = 5
+SVS_GC_JOB = 6
+
+DEFAULT_PENDING_SWAP_JOBS_THRESHOLD = 1024
+MAX_PENDING_SWAP_JOBS_THRESHOLD = 100_000
+
+
+class AsyncJob:
+    """A unit of background work (vec_sim_tiered_index.h:26-77)."""
+
+    __slots__ = ("job_type", "index", "is_valid", "payload")
+
+    def __init__(self, job_type: int, index, payload=None):
+        self.job_type = job_type
+        self.index = index
+        self.is_valid = True
+        self.payload = payload
+
+    def execute(self) -> None:
+        if self.is_valid:
+            self.index._execute_job(self)
+
+
+class TieredHNSWIndex(VecSimIndexBase):
+    """BF frontend + HNSW backend with async insert/delete jobs."""
+
+    def __init__(self, params: TieredIndexParams, log_ctx: Any = None):
+        super().__init__(log_ctx)
+        from .brute_force import BruteForceIndex
+
+        primary = params.primaryIndexParams
+        self.backend, hp = self._make_backend(primary)
+        self.frontend = BruteForceIndex(
+            BFParams(
+                type=hp.type,
+                dim=hp.dim,
+                metric=hp.metric,
+                multi=hp.multi,
+                blockSize=hp.blockSize or DEFAULT_BLOCK_SIZE,
+            ),
+            primary.logCtx,
+        )
+        self.params = params
+        self.flat_buffer_limit = params.flatBufferLimit or (1 << 30)
+        thr = params.tieredHnswParams.swapJobThreshold or DEFAULT_PENDING_SWAP_JOBS_THRESHOLD
+        self.swap_job_threshold = min(thr, MAX_PENDING_SWAP_JOBS_THRESHOLD)
+        self._submit_cb = params.submitCb
+        self._job_queue = params.jobQueue
+        self._job_queue_ctx = params.jobQueueCtx
+        # label -> pending insert jobs (invalidation protocol,
+        # hnsw_tiered.h:514-521)
+        self._insert_jobs: dict[int, list[AsyncJob]] = {}
+        self._pending_swaps = 0  # tombstoned nodes awaiting physical removal
+        self.direct_hnsw_insertions = 0
+        self._glock = threading.RLock()
+
+    def _make_backend(self, primary):
+        from .factory import _with_defaults_hnsw
+        from .hnsw import HNSWIndex
+
+        hp = _with_defaults_hnsw(primary.hnswParams)
+        return HNSWIndex(hp, primary.logCtx), hp
+
+    # ------------------------------------------------------------------
+    # Job submission / execution
+    # ------------------------------------------------------------------
+
+    def _submit(self, jobs: list[AsyncJob]) -> None:
+        if self._submit_cb is None:
+            # No host queue: degrade to synchronous execution (keeps the
+            # read-your-writes guarantee trivially).
+            for j in jobs:
+                j.execute()
+            return
+        self._submit_cb(self._job_queue, self._job_queue_ctx, jobs, [AsyncJob.execute] * len(jobs))
+
+    def _execute_job(self, job: AsyncJob) -> None:
+        if job.job_type == HNSW_INSERT_VECTOR_JOB:
+            self._execute_insert_job(job)
+        elif job.job_type == HNSW_SWAP_JOB:
+            self.run_gc()
+
+    def _execute_insert_job(self, job: AsyncJob) -> None:
+        label, blob = job.payload
+        with self._glock:
+            if not job.is_valid:
+                return
+            # Move from flat to HNSW (hnsw_tiered.h:547-606).
+            self.backend.add_vector_batch(blob.reshape(1, -1), [label])
+            jobs = self._insert_jobs.get(label)
+            if jobs and job in jobs:
+                jobs.remove(job)
+                if not jobs:
+                    del self._insert_jobs[label]
+            job.is_valid = False
+            self._remove_one_from_flat(label, blob)
+
+    def _remove_one_from_flat(self, label: int, blob: np.ndarray) -> None:
+        fe = self.frontend
+        if fe.multi:
+            ids = fe.labels.ids_of(label)
+            if not ids:
+                return
+            # Remove the specific row whose data matches this job's blob.
+            target = None
+            for i in ids:
+                if np.array_equal(fe.store.host["data"][i], fe.preprocess_storage(blob)["data"][0]):
+                    target = i
+                    break
+            if target is None:
+                target = ids[-1]
+            fe.labels.remove_id(label, target)
+            fe._swap_delete_row(target)
+            fe.store.maybe_shrink()
+        else:
+            fe.delete_vector(label)
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+
+    def add_vector(self, blob: np.ndarray, label: int) -> int:
+        blob = np.asarray(blob)
+        with self._glock:
+            if VecSimIndexBase.write_mode == VecSimWriteMode.InPlace:
+                # hnsw_tiered.h:724-741
+                deleted = self.delete_vector(label) if not self.backend.multi else 0
+                self.backend.add_vector_batch(blob.reshape(1, -1), [label])
+                self.direct_hnsw_insertions += 1
+                return 1 - deleted if not self.backend.multi else 1
+            if self.frontend.index_size >= self.flat_buffer_limit:
+                # Flat full: write straight into the backend
+                # (hnsw_tiered.h:742-760).
+                ret = 1
+                if not self.backend.multi and self._label_exists(label):
+                    self.delete_vector(label)
+                    ret = 0
+                self.backend.add_vector_batch(blob.reshape(1, -1), [label])
+                self.direct_hnsw_insertions += 1
+                return ret
+            ret = 1
+            if not self.backend.multi:
+                # Overwrite: invalidate pending jobs + purge old copies
+                # (hnsw_tiered.h:766-805).
+                if self._label_exists(label):
+                    ret = 0
+                for j in self._insert_jobs.pop(label, []):
+                    j.is_valid = False
+                if label in self.frontend.labels:
+                    self.frontend.delete_vector(label)
+                if label in self.backend.labels:
+                    self._mark_delete_backend(label)
+            self.frontend.add_vector(blob, label)
+            job = AsyncJob(HNSW_INSERT_VECTOR_JOB, self, (label, np.array(blob, copy=True)))
+            self._insert_jobs.setdefault(label, []).append(job)
+            self._maybe_execute_swaps()
+        self._submit([job])
+        return ret
+
+    def delete_vector(self, label: int) -> int:
+        with self._glock:
+            deleted = 0
+            # Invalidate pending insert jobs & purge flat copies
+            # (hnsw_tiered.h:823-851).
+            for j in self._insert_jobs.pop(label, []):
+                j.is_valid = False
+            deleted += self.frontend.delete_vector(label)
+            if label in self.backend.labels:
+                if VecSimIndexBase.write_mode == VecSimWriteMode.InPlace:
+                    deleted += self.backend.delete_vector(label)
+                else:
+                    deleted += self._mark_delete_backend(label)
+            return deleted
+
+    def _mark_delete_backend(self, label: int) -> int:
+        ids = self.backend.mark_delete(label)
+        self._pending_swaps += len(ids)
+        self._maybe_execute_swaps()
+        return len(ids)
+
+    def _maybe_execute_swaps(self) -> None:
+        if self._pending_swaps >= self.swap_job_threshold:
+            self.run_gc()
+
+    def run_gc(self) -> None:
+        """Physically remove tombstoned backend nodes (executeReadySwapJobs /
+        VecSimTieredIndex_GC, hnsw_tiered.h:332-362, 230-235)."""
+        with self._glock:
+            be = self.backend
+            while True:
+                count = be.store.count
+                flagged = np.nonzero(be.store.host["flags"][:count] & 1)[0]
+                if len(flagged) == 0:
+                    break
+                node = int(flagged[-1])  # back-first keeps earlier ids stable
+                be._delete_node_tombstoned(node)
+                be.num_marked_deleted -= 1
+                self._pending_swaps = max(0, self._pending_swaps - 1)
+            be.store.maybe_shrink()
+
+    def _label_exists(self, label: int) -> bool:
+        return label in self.frontend.labels or label in self.backend.labels
+
+    # ------------------------------------------------------------------
+    # Read path
+    # ------------------------------------------------------------------
+
+    def topk_query(
+        self, query: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> QueryReply:
+        with self._glock:
+            if self.frontend.index_size == 0:
+                return self.backend.topk_query(query, k, params)
+            flat = self.frontend.topk_query(query, k, params)
+            if flat.code != VecSimQueryReplyCode.OK:
+                return flat
+            main = self.backend.topk_query(query, k, params)
+            if main.code != VecSimQueryReplyCode.OK:
+                return main
+            return merge_replies(main, flat, k, with_set=True)
+
+    def range_query(
+        self,
+        query: np.ndarray,
+        radius: float,
+        params: Optional[VecSimQueryParams] = None,
+        order: QueryReplyOrder = QueryReplyOrder.BY_SCORE,
+    ) -> QueryReply:
+        with self._glock:
+            flat = self.frontend.range_query(query, radius, params, QueryReplyOrder.BY_SCORE)
+            if flat.code != VecSimQueryReplyCode.OK:
+                return flat
+            main = self.backend.range_query(query, radius, params, QueryReplyOrder.BY_SCORE)
+            if main.code != VecSimQueryReplyCode.OK:
+                return main
+            merged = merge_replies(main, flat, max(len(flat) + len(main), 1), with_set=True)
+            return merged.sort(order)
+
+    def topk_query_batch(self, queries, k, params=None):
+        return [self.topk_query(q, k, params) for q in np.atleast_2d(queries)]
+
+    def get_distance_from(self, label: int, blob: np.ndarray) -> float:
+        d1 = self.frontend.get_distance_from(label, blob)
+        d2 = self.backend.get_distance_from(label, blob)
+        candidates = [d for d in (d1, d2) if not np.isnan(d)]
+        return min(candidates) if candidates else float("nan")
+
+    def new_batch_iterator(self, query: np.ndarray, params: Optional[VecSimQueryParams] = None):
+        from .tiered_batch_iterator import TieredBatchIterator
+
+        return TieredBatchIterator(self, query, params)
+
+    def prefer_adhoc_search(self, subset_size: int, k: int, initial_check: bool = False) -> bool:
+        # Delegate to the bigger tier (vec_sim_tiered_index.h policy).
+        if self.backend.index_size >= self.frontend.index_size:
+            res = self.backend.prefer_adhoc_search(subset_size, k, initial_check)
+        else:
+            res = self.frontend.prefer_adhoc_search(subset_size, k, initial_check)
+        self.last_mode = (
+            self.backend.last_mode
+            if self.backend.index_size >= self.frontend.index_size
+            else self.frontend.last_mode
+        )
+        return res
+
+    # ------------------------------------------------------------------
+    # Size / info
+    # ------------------------------------------------------------------
+
+    @property
+    def index_size(self) -> int:
+        with self._glock:
+            # Labels may transiently live in both tiers; count unique.
+            overlap = sum(
+                1
+                for lab in self._insert_jobs
+                if lab in self.frontend.labels and lab in self.backend.labels
+            )
+            return self.frontend.index_size + self.backend.index_size - overlap
+
+    @property
+    def index_label_count(self) -> int:
+        with self._glock:
+            fl = set(self.frontend.labels.label_to_ids if self.frontend.multi
+                     else self.frontend.labels.label_to_id)
+            bl = set(self.backend.labels.label_to_ids if self.backend.multi
+                     else self.backend.labels.label_to_id)
+            return len(fl | bl)
+
+    def basic_info(self) -> VecSimIndexBasicInfo:
+        info = self.backend.basic_info()
+        info.isTiered = True
+        return info
+
+    def stats_info(self) -> VecSimIndexStatsInfo:
+        return VecSimIndexStatsInfo(
+            memory=self.frontend.stats_info().memory + self.backend.stats_info().memory,
+            numberOfMarkedDeleted=self.backend.num_marked_deleted,
+            directHNSWInsertions=self.direct_hnsw_insertions,
+            flatBufferSize=self.frontend.index_size,
+        )
+
+    def debug_info(self) -> VecSimIndexDebugInfo:
+        be = self.backend.debug_info()
+        fe = self.frontend.debug_info()
+        common = CommonInfo(
+            basicInfo=self.basic_info(),
+            indexSize=self.index_size,
+            indexLabelCount=self.index_label_count,
+            memory=fe.commonInfo.memory + be.commonInfo.memory,
+            lastMode=self.last_mode,
+        )
+        return VecSimIndexDebugInfo(
+            commonInfo=common,
+            tieredInfo=TieredInfo(
+                backendInfo=be.hnswInfo,
+                backendCommonInfo=be.commonInfo,
+                frontendCommonInfo=fe.commonInfo,
+                management_layer_memory=4096,
+                backgroundIndexing=bool(self._insert_jobs),
+                bufferLimit=self.flat_buffer_limit,
+                specificTieredBackendInfo={"pendingSwapJobsThreshold": self.swap_job_threshold},
+            ),
+        )
+
+
+def create_tiered_index(params: TieredIndexParams, log_ctx: Any = None):
+    primary = params.primaryIndexParams
+    if primary is None:
+        raise ValueError("tiered index requires primaryIndexParams")
+    if primary.algo == VecSimAlgo.HNSWLIB:
+        return TieredHNSWIndex(params, log_ctx)
+    if primary.algo == VecSimAlgo.SVS:
+        from .tiered_svs import TieredSVSIndex
+
+        return TieredSVSIndex(params, log_ctx)
+    raise ValueError(f"tiered backend must be HNSW or SVS, got {primary.algo}")

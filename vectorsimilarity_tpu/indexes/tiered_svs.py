@@ -1,0 +1,109 @@
+"""Tiered SVS — flat frontend + Vamana backend with batch-migration jobs.
+
+Reference: ``algorithms/svs/svs_tiered.h``. Unlike tiered HNSW's per-vector
+insert jobs, SVS migrates in *batches*: the backend is only built once the
+flat buffer reaches ``trainingTriggerThreshold`` (default 10x1024,
+vec_sim_common.h:53), and afterwards an update job drains the flat buffer
+whenever it reaches ``updateTriggerThreshold`` (default 1024). The
+reference's swap/delete journals (svs_tiered.h:644-770) replay flat-buffer
+mutations that raced the copy; here the global lock serializes the
+migration against writers, which preserves the same observable semantics
+(every pre-submit vector is queryable throughout).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..types import (
+    SVS_VAMANA_DEFAULT_TRAINING_THRESHOLD,
+    SVS_VAMANA_DEFAULT_UPDATE_THRESHOLD,
+    TieredIndexParams,
+    VecSimWriteMode,
+)
+from ..core.interface import VecSimIndexBase
+from .tiered import SVS_BATCH_UPDATE_JOB, SVS_GC_JOB, AsyncJob, TieredHNSWIndex
+
+
+class TieredSVSIndex(TieredHNSWIndex):
+    def __init__(self, params: TieredIndexParams, log_ctx: Any = None):
+        super().__init__(params, log_ctx)
+        sp = params.tieredSVSParams
+        self.training_threshold = (
+            sp.trainingTriggerThreshold or SVS_VAMANA_DEFAULT_TRAINING_THRESHOLD
+        )
+        self.update_threshold = sp.updateTriggerThreshold or SVS_VAMANA_DEFAULT_UPDATE_THRESHOLD
+        self._update_scheduled = False
+
+    def _make_backend(self, primary):
+        from .svs import SVSIndex
+
+        return SVSIndex(primary.svsParams, primary.logCtx), primary.svsParams
+
+    # ------------------------------------------------------------------
+    # Write path: batch-threshold migration (svs_tiered.h:35-215)
+    # ------------------------------------------------------------------
+
+    def add_vector(self, blob: np.ndarray, label: int) -> int:
+        blob = np.asarray(blob)
+        with self._glock:
+            if VecSimIndexBase.write_mode == VecSimWriteMode.InPlace and self.backend.index_size:
+                deleted = self.delete_vector(label) if not self.backend.multi else 0
+                self.backend.add_vector_batch(blob.reshape(1, -1), [label])
+                self.direct_hnsw_insertions += 1
+                return 1 - deleted if not self.backend.multi else 1
+            ret = 1
+            if not self.backend.multi:
+                if self._label_exists(label):
+                    ret = 0
+                if label in self.frontend.labels:
+                    self.frontend.delete_vector(label)
+                if label in self.backend.labels:
+                    self._mark_delete_backend(label)
+            self.frontend.add_vector(blob, label)
+            job = self._maybe_schedule_update()
+        if job is not None:
+            self._submit([job])
+        return ret
+
+    def _maybe_schedule_update(self):
+        """Returns an update job when a threshold is crossed."""
+        if self._update_scheduled:
+            return None
+        flat = self.frontend.index_size
+        threshold = (
+            self.training_threshold if self.backend.index_size == 0 else self.update_threshold
+        )
+        if flat >= threshold:
+            self._update_scheduled = True
+            return AsyncJob(SVS_BATCH_UPDATE_JOB, self)
+        return None
+
+    def _execute_job(self, job: AsyncJob) -> None:
+        if job.job_type == SVS_BATCH_UPDATE_JOB:
+            self._execute_batch_update()
+        elif job.job_type == SVS_GC_JOB:
+            self.run_gc()
+        else:
+            super()._execute_job(job)
+
+    def _execute_batch_update(self) -> None:
+        """Drain the flat buffer into the Vamana backend in one batch
+        (svs_tiered.h:644-770 updateSVSIndex)."""
+        with self._glock:
+            self._update_scheduled = False
+            fe = self.frontend
+            count = fe.index_size
+            if count == 0:
+                return
+            vecs = fe.store.host["data"][:count].copy()
+            labels = fe.store.host["label"][:count].copy()
+            self.backend.add_vector_batch(vecs, labels.tolist())
+            for lab in np.unique(labels):
+                fe.delete_vector(int(lab))
+
+    def flush(self) -> None:
+        """Test/ops hook: force-migrate pending flat vectors."""
+        self._execute_batch_update()

@@ -1,0 +1,367 @@
+"""Device graph-search kernels: batched greedy descent, ef-beam search, and
+diversity pruning.
+
+TPU re-design of the HNSW hot loops (``algorithms/hnsw/hnsw.h``):
+
+- ``greedySearchLevel`` (hnsw.h:1192, pointer-chase + one distance per hop)
+  -> ``greedy_level``: a batched ``lax.while_loop`` where every step gathers
+  the full neighbor row and evaluates all M distances at once on the VPU/MXU.
+- ``searchLayer`` (hnsw.h:664-703, candidate min-heap + bounded result heap
+  + visited-tag array) -> ``beam_search``: a fixed-capacity sorted beam with
+  expanded flags carried through a ``lax.while_loop``; the two heaps collapse
+  into one sorted array (equivalent semantics: a candidate is expanded iff it
+  was ever within the best-ef frontier, and the loop stops when the best
+  unexpanded candidate is worse than the worst beam entry). The visited-tag
+  pool (visited_nodes_handler.h) becomes a per-query byte map scattered on
+  device.
+- ``getNeighborsByHeuristic2`` (hnsw.h:725-779, greedy diversity prune) ->
+  ``diversity_prune``: the same greedy loop as a ``fori_loop`` over
+  score-sorted candidates, batched over all inserted nodes at once.
+
+All kernels take SoA device arrays and are shape-specialized by (capacity
+bucket, ef, M, batch); recompiles are O(log N) per index lifetime.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import VecSimMetric
+
+
+class StoreCtx(NamedTuple):
+    """Device score context: data plus optional per-row extras.
+
+    kind="float": data [N,D] float; sqnorm [N] f32 (L2 only, else None)
+    kind="int":   data [N,D] int8/uint8; sqnorm [N] f32 (L2), norm [N] f32
+                  (cosine), else None
+    kind="sq8":   data [N,D] uint8 codes; sqnorm [N] = Σx² (L2 only);
+                  vmin/delta [N] f32 quantization params; queries stay float
+                  and carry (Σy, Σy²) via the kernels' ``q_meta`` argument
+                  (asymmetric distance, spaces/IP/IP.cpp:35-71)
+    """
+
+    data: jax.Array
+    sqnorm: jax.Array | None = None
+    norm: jax.Array | None = None
+    vmin: jax.Array | None = None
+    delta: jax.Array | None = None
+
+
+def gathered_dists(
+    q: jax.Array,
+    ids: jax.Array,
+    ctx: StoreCtx,
+    metric: VecSimMetric,
+    kind: str,
+    q_norm: jax.Array | None = None,
+    q_meta: tuple | None = None,
+) -> jax.Array:
+    """Distances from per-query vectors to gathered rows.
+
+    q: [B, D]; ids: [B, M] (must be valid row indices; mask afterwards).
+    Returns [B, M] f32. Uses the same algebraic identities as
+    ``ops.distances`` so beam scores match full-scan scores exactly.
+    ``q_meta`` = (Σy [B], Σy² [B] or None) for the sq8 asymmetric kernels.
+    """
+    metric = VecSimMetric(metric)
+    vecs = jnp.take(ctx.data, ids, axis=0)  # [B, M, D]
+    if kind == "sq8":
+        ysum, ysumsq = q_meta
+        qdot = jnp.einsum(
+            "bd,bmd->bm", q.astype(jnp.float32), vecs.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        vmin = jnp.take(ctx.vmin, ids, axis=0)
+        delta = jnp.take(ctx.delta, ids, axis=0)
+        ip = vmin * ysum[:, None] + delta * qdot
+        if metric in (VecSimMetric.IP, VecSimMetric.Cosine):
+            return 1.0 - ip
+        xsumsq = jnp.take(ctx.sqnorm, ids, axis=0)
+        return xsumsq - 2.0 * ip + ysumsq[:, None]
+    if kind == "int":
+        ip = jnp.einsum(
+            "bd,bmd->bm",
+            q.astype(jnp.int32),
+            vecs.astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        )
+        if metric == VecSimMetric.IP:
+            return 1.0 - ip.astype(jnp.float32)
+        if metric == VecSimMetric.Cosine:
+            norms = jnp.take(ctx.norm, ids, axis=0)
+            return 1.0 - ip.astype(jnp.float32) / (norms * q_norm[:, None])
+        qsq = jnp.sum(q.astype(jnp.int32) * q.astype(jnp.int32), axis=-1)
+        vsq = jnp.take(ctx.sqnorm, ids, axis=0)
+        return qsq[:, None].astype(jnp.float32) - 2.0 * ip.astype(jnp.float32) + vsq
+    acc = jnp.float32 if q.dtype != jnp.float64 else jnp.float64
+    ip = jnp.einsum(
+        "bd,bmd->bm",
+        q.astype(acc),
+        vecs.astype(acc),
+        preferred_element_type=acc,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric in (VecSimMetric.IP, VecSimMetric.Cosine):
+        return (1.0 - ip).astype(jnp.float32)
+    qsq = jnp.sum(q.astype(acc) * q.astype(acc), axis=-1)
+    vsq = jnp.take(ctx.sqnorm, ids, axis=0)
+    return (qsq[:, None] - 2.0 * ip + vsq).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Greedy descent (one level)
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_gather(links: jax.Array, row_of: jax.Array | None, level: jax.Array | None):
+    """Neighbor-row gather for 2-D ([rows, M]) or 3-D ([rows, L, M] + level)
+    link arrays. 3-D + traced ``level`` lets one compiled kernel serve every
+    upper level (level l>=1 lives at index l-1)."""
+
+    def nbrs_of(ids):
+        rows = ids if row_of is None else jnp.take(row_of, ids, axis=0)
+        x = jnp.take(links, rows, axis=0)
+        if links.ndim == 3:
+            x = jax.lax.dynamic_index_in_dim(x, level - 1, axis=1, keepdims=False)
+        return x
+
+    return nbrs_of
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "kind"))
+def greedy_level(
+    q: jax.Array,
+    ctx: StoreCtx,
+    links: jax.Array,  # [rows, M] or [rows, L, M] neighbor vector-ids, -1 padded
+    row_of: jax.Array | None,  # [cap] vector-id -> row in `links` (None: identity)
+    cur: jax.Array,  # [B] current vector ids
+    cur_d: jax.Array,  # [B] their distances
+    level: jax.Array | None = None,  # traced level for 3-D links
+    active: jax.Array | None = None,  # [B] bool: queries to advance
+    *,
+    metric: VecSimMetric,
+    kind: str,
+    q_norm: jax.Array | None = None,
+    q_meta: tuple | None = None,
+):
+    """Batched greedy hill-descent on one level until no query improves."""
+    B = q.shape[0]
+    nbrs_of = _neighbor_gather(links, row_of, level)
+    if active is None:
+        active = jnp.ones((B,), dtype=bool)
+
+    def cond(state):
+        _, _, improved = state
+        return jnp.any(improved)
+
+    def body(state):
+        cur, cur_d, improved = state
+        nbrs = nbrs_of(jnp.where(improved, cur, 0))  # [B, M]
+        valid = (nbrs >= 0) & improved[:, None]
+        safe = jnp.where(valid, nbrs, 0)
+        nd = gathered_dists(q, safe, ctx, metric, kind, q_norm, q_meta)
+        nd = jnp.where(valid, nd, jnp.inf)
+        j = jnp.argmin(nd, axis=1)
+        best_d = jnp.take_along_axis(nd, j[:, None], axis=1)[:, 0]
+        best_i = jnp.take_along_axis(safe, j[:, None], axis=1)[:, 0]
+        better = best_d < cur_d
+        return (
+            jnp.where(better, best_i, cur),
+            jnp.where(better, best_d, cur_d),
+            better,
+        )
+
+    init = (cur, cur_d, active)
+    cur, cur_d, _ = jax.lax.while_loop(cond, body, init)
+    return cur, cur_d
+
+
+# ---------------------------------------------------------------------------
+# Beam search (searchLayer)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("visited_cap", "ef", "metric", "kind", "max_iters")
+)
+def beam_search(
+    q: jax.Array,  # [B, D]
+    ctx: StoreCtx,
+    links: jax.Array,  # [rows, M]
+    row_of: jax.Array | None,  # [cap] or None
+    entry_ids: jax.Array,  # [B] entry vector ids
+    entry_dists: jax.Array,  # [B]
+    visited_cap: int,
+    level: jax.Array | None = None,  # traced level for 3-D links
+    *,
+    ef: int,
+    metric: VecSimMetric,
+    kind: str,
+    q_norm: jax.Array | None = None,
+    q_meta: tuple | None = None,
+    max_iters: int = 0,
+):
+    """Best-first ef-beam search from per-query entry points.
+
+    Returns (beam_d [B, ef], beam_i [B, ef]) sorted ascending; empty slots
+    have d=+inf, id=-1. Equivalent to ``searchLayer`` (hnsw.h:664-703).
+    """
+    B = q.shape[0]
+    M = links.shape[-1]
+    max_iters = max_iters or (8 * ef + 64)
+    nbrs_of = _neighbor_gather(links, row_of, level)
+
+    beam_d = jnp.full((B, ef), jnp.inf, dtype=jnp.float32)
+    beam_i = jnp.full((B, ef), -1, dtype=jnp.int32)
+    beam_e = jnp.zeros((B, ef), dtype=bool)
+    beam_d = beam_d.at[:, 0].set(entry_dists.astype(jnp.float32))
+    beam_i = beam_i.at[:, 0].set(entry_ids.astype(jnp.int32))
+    visited = jnp.zeros((B, visited_cap), dtype=jnp.uint8)
+    visited = visited.at[jnp.arange(B), entry_ids].set(1)
+    done = jnp.zeros((B,), dtype=bool)
+    rows_b = jnp.arange(B)
+
+    def cond(state):
+        _, _, _, _, done, it = state
+        return jnp.logical_and(~jnp.all(done), it < max_iters)
+
+    def body(state):
+        beam_d, beam_i, beam_e, visited, done, it = state
+        # Best unexpanded candidate per query.
+        cand_key = jnp.where(beam_e | (beam_i < 0), jnp.inf, beam_d)
+        pos = jnp.argmin(cand_key, axis=1)  # [B]
+        cur_d = jnp.take_along_axis(cand_key, pos[:, None], axis=1)[:, 0]
+        worst = beam_d[:, -1]
+        # Stop when: no unexpanded candidate, or beam full and the best
+        # candidate cannot improve it (hnsw.h searchLayer termination).
+        newly_done = (cur_d == jnp.inf) | (cur_d > worst)
+        done2 = done | newly_done
+        active = ~done2
+        cur_i = jnp.take_along_axis(beam_i, pos[:, None], axis=1)[:, 0]
+        # Mark expanded (active queries only).
+        exp_val = jnp.take_along_axis(beam_e, pos[:, None], axis=1)[:, 0] | active
+        beam_e = beam_e.at[rows_b, pos].set(exp_val)
+        safe_cur = jnp.where(active, cur_i, 0)
+        nbrs = nbrs_of(safe_cur)  # [B, M]
+        valid = (nbrs >= 0) & active[:, None]
+        safe = jnp.where(valid, nbrs, 0)
+        seen = jnp.take_along_axis(visited, safe, axis=1) > 0
+        valid = valid & ~seen
+        visited = visited.at[rows_b[:, None], safe].max(valid.astype(jnp.uint8))
+        nd = gathered_dists(q, safe, ctx, metric, kind, q_norm, q_meta)
+        nd = jnp.where(valid, nd, jnp.inf)
+        new_i = jnp.where(valid, safe, -1)
+        # Merge candidates into the beam, keep best ef.
+        all_d = jnp.concatenate([beam_d, nd], axis=1)
+        all_i = jnp.concatenate([beam_i, new_i], axis=1)
+        all_e = jnp.concatenate([beam_e, jnp.zeros((B, M), dtype=bool)], axis=1)
+        order = jnp.argsort(all_d, axis=1)[:, :ef]
+        beam_d = jnp.take_along_axis(all_d, order, axis=1)
+        beam_i = jnp.take_along_axis(all_i, order, axis=1)
+        beam_e = jnp.take_along_axis(all_e, order, axis=1)
+        return beam_d, beam_i, beam_e, visited, done2, it + 1
+
+    state = (beam_d, beam_i, beam_e, visited, done, jnp.int32(0))
+    beam_d, beam_i, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return beam_d, beam_i
+
+
+# ---------------------------------------------------------------------------
+# Diversity pruning (getNeighborsByHeuristic2)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("m", "metric", "kind", "alpha"))
+def diversity_prune(
+    q: jax.Array,  # [B, D] target vectors (new node / repaired node)
+    cand_ids: jax.Array,  # [B, C] candidate vector ids, -1 padded
+    cand_dists: jax.Array,  # [B, C] distances to q, +inf for padded
+    ctx: StoreCtx,
+    *,
+    m: int,
+    metric: VecSimMetric,
+    kind: str,
+    alpha: float = 1.0,
+    q_norm: jax.Array | None = None,
+) -> jax.Array:
+    """Select up to m diverse neighbors per row; returns ids [B, m] (-1 pad).
+
+    Reference greedy rule (hnsw.h:725-779): scan candidates in ascending
+    distance-to-q order; keep c unless some already-kept k has
+    dist(c, k) < dist(c, q). ``alpha`` generalizes to the Vamana robust-prune
+    rule (alpha * dist(c, k) <= dist(c, q) discards, DiskANN/SVS semantics;
+    alpha=1.0 == HNSW heuristic-2). Batched: precompute the candidate
+    pairwise distance matrix with one MXU call, then run the greedy scan as a
+    ``fori_loop`` carrying the kept mask for all rows at once.
+    """
+    B, C = cand_ids.shape
+    order = jnp.argsort(cand_dists, axis=1)
+    s_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+    s_d = jnp.take_along_axis(cand_dists, order, axis=1)
+    valid = s_ids >= 0
+    safe = jnp.where(valid, s_ids, 0)
+    vecs = jnp.take(ctx.data, safe, axis=0)  # [B, C, D]
+    if kind == "sq8":
+        # Pairwise among candidates on reconstructed values (x = min + delta*q)
+        # — algebraically identical to the symmetric SQ8 formulas
+        # (preprocessors.h:205-220).
+        vmin = jnp.take(ctx.vmin, safe, axis=0)
+        delta = jnp.take(ctx.delta, safe, axis=0)
+        vecs = vmin[:, :, None] + delta[:, :, None] * vecs.astype(jnp.float32)
+        kind = "float"  # float path below
+    # Pairwise distances among candidates (same metric as the index).
+    metric_v = VecSimMetric(metric)
+    if kind == "int":
+        vi = vecs.astype(jnp.int32)
+        ip = jnp.einsum("bcd,bed->bce", vi, vi, preferred_element_type=jnp.int32)
+        if metric_v == VecSimMetric.L2:
+            sq = jnp.take(ctx.sqnorm, safe, axis=0)
+            pair = sq[:, :, None] - 2.0 * ip.astype(jnp.float32) + sq[:, None, :]
+        elif metric_v == VecSimMetric.Cosine:
+            norms = jnp.take(ctx.norm, safe, axis=0)
+            pair = 1.0 - ip.astype(jnp.float32) / (norms[:, :, None] * norms[:, None, :])
+        else:
+            pair = 1.0 - ip.astype(jnp.float32)
+    else:
+        vf = vecs.astype(jnp.float32)
+        ip = jnp.einsum(
+            "bcd,bed->bce", vf, vf, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric_v == VecSimMetric.L2:
+            sq = jnp.sum(vf * vf, axis=-1)
+            pair = sq[:, :, None] - 2.0 * ip + sq[:, None, :]
+        else:
+            pair = 1.0 - ip
+
+    def step(c, carry):
+        kept, count = carry
+        # Does candidate c conflict with any kept candidate?
+        viol = jnp.any((alpha * pair[:, c, :] < s_d[:, c, None]) & kept, axis=-1)
+        take = valid[:, c] & ~viol & (count < m) & jnp.isfinite(s_d[:, c])
+        kept = kept.at[:, c].set(take)
+        return kept, count + take.astype(jnp.int32)
+
+    kept = jnp.zeros((B, C), dtype=bool)
+    kept, _ = jax.lax.fori_loop(0, C, step, (kept, jnp.zeros((B,), jnp.int32)))
+    # Compact kept ids to the front, pad with -1.
+    key = jnp.where(kept, s_d, jnp.inf)
+    sel = jnp.argsort(key, axis=1)[:, :m]
+    out = jnp.take_along_axis(jnp.where(kept, s_ids, -1), sel, axis=1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "kind"))
+def dists_to_ids(
+    q: jax.Array, ids: jax.Array, ctx: StoreCtx, *, metric, kind, q_norm=None, q_meta=None
+) -> jax.Array:
+    """Masked distances from q[b] to ids[b, :] (-1 -> +inf)."""
+    valid = ids >= 0
+    safe = jnp.where(valid, ids, 0)
+    d = gathered_dists(q, safe, ctx, metric, kind, q_norm, q_meta)
+    return jnp.where(valid, d, jnp.inf)
