@@ -449,17 +449,31 @@ class HNSWIndex(DeviceVectorIndex):
             return len(ids)
 
     def _referrers(self, node: int) -> list[tuple[int, int]]:
-        """All (referrer, level) with an edge -> node, via SoA scans."""
+        """All (referrer, level) with an edge -> node, via SoA scans.
+
+        Uses the native host runtime's scan when available
+        (``native/vecsim_host.cpp`` vs_find_referrers); numpy otherwise."""
+        from .. import native_bridge
+
         count = self.store.count
         out = []
-        hit = np.nonzero((self.store.host["links0"][:count] == node).any(axis=1))[0]
+        hit = native_bridge.find_referrers(self.store.host["links0"], count, node)
+        if hit is None:
+            hit = np.nonzero((self.store.host["links0"][:count] == node).any(axis=1))[0]
         out.extend((int(h), 0) for h in hit)
         ucount = self.upper.count
         if ucount:
             ul = self.upper.host["links"][:ucount]
-            rows, lvls = np.nonzero((ul == node).any(axis=2))
+            flat_hit = native_bridge.find_referrers(
+                ul.reshape(ucount * self.lmax, self.M), ucount * self.lmax, node
+            )
             vec = self.upper.host["vec"]
-            out.extend((int(vec[r]), int(l) + 1) for r, l in zip(rows, lvls))
+            if flat_hit is None:
+                rows, lvls = np.nonzero((ul == node).any(axis=2))
+                out.extend((int(vec[r]), int(l) + 1) for r, l in zip(rows, lvls))
+            else:
+                for fr in flat_hit:
+                    out.append((int(vec[fr // self.lmax]), int(fr % self.lmax) + 1))
         return out
 
     def _delete_node(self, node: int) -> None:

@@ -378,8 +378,12 @@ class SVSIndex(DeviceVectorIndex):
             return len(ids)
 
     def _referrers(self, node: int) -> list[int]:
+        from .. import native_bridge
+
         count = self.store.count
-        hit = np.nonzero((self.store.host["links"][:count] == node).any(axis=1))[0]
+        hit = native_bridge.find_referrers(self.store.host["links"], count, node)
+        if hit is None:
+            hit = np.nonzero((self.store.host["links"][:count] == node).any(axis=1))[0]
         return [int(h) for h in hit]
 
     def _delete_node(self, node: int) -> None:
