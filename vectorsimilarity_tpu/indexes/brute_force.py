@@ -142,21 +142,33 @@ class BruteForceIndex(DeviceVectorIndex):
         return q, qnorms
 
     def _topk_single(self, q, qnorms, k: int, nq: int) -> list[QueryReply]:
+        from .. import config
+
         count = self.store.count
         kk = min(k, count)
         kpad = min(pow2_bucket(kk), self.store.capacity)
         q, qnorms = self._padded_queries(q, qnorms, nq)
         dev = self.store.device_arrays()
-        dists, ids = streaming_topk(
-            jnp.asarray(q),
-            self.store_tuple(dev),
-            jnp.int32(count),
-            kpad,
-            metric=self.metric,
-            kind=self.store_kind,
-            chunk=max(_SCAN_CHUNK, kpad),
-            query_norms=None if qnorms is None else jnp.asarray(qnorms),
-        )
+        if config.pallas_enabled(self.store_kind, kpad, self.store.capacity):
+            from ..ops.pallas.bf_topk import pallas_topk
+
+            data, sqn = self.store_tuple(dev)
+            dists, ids = pallas_topk(
+                jnp.asarray(q), data, sqn, jnp.int32(count), kpad,
+                metric=self.metric,
+                tile_n=min(config.pallas_tile_n, self.store.capacity),
+            )
+        else:
+            dists, ids = streaming_topk(
+                jnp.asarray(q),
+                self.store_tuple(dev),
+                jnp.int32(count),
+                kpad,
+                metric=self.metric,
+                kind=self.store_kind,
+                chunk=max(_SCAN_CHUNK, kpad),
+                query_norms=None if qnorms is None else jnp.asarray(qnorms),
+            )
         dists = np.asarray(dists)[:nq, :kk]
         ids = np.asarray(ids)[:nq, :kk]
         id_to_label = self.store.host["label"]

@@ -84,20 +84,22 @@ def _make_kernel(metric: VecSimMetric, k: int, tile_n: int, n_tiles: int, with_s
                 spos = jnp.argmin(cur_s, axis=1)
                 take_b = bmin <= smin
                 val = jnp.where(take_b, bmin, smin)
-                sid = jnp.take_along_axis(gids, spos[:, None], axis=1)[:, 0]
-                bid = jnp.take_along_axis(cur_best_i, bpos[:, None], axis=1)[:, 0]
-                idx = jnp.where(take_b, bid, sid)
-                new_d = new_d.at[:, t].set(val)
-                new_i = new_i.at[:, t].set(idx)
-                # Knock out the consumed entry.
+                # One-hot selection instead of gathers (Mosaic-friendly).
                 rowsb = jax.lax.broadcasted_iota(jnp.int32, cur_best_d.shape, 1)
-                cur_best_d = jnp.where(
-                    take_b[:, None] & (rowsb == bpos[:, None]), jnp.inf, cur_best_d
-                )
+                maskb = rowsb == bpos[:, None]
                 rowss = jax.lax.broadcasted_iota(jnp.int32, cur_s.shape, 1)
-                cur_s = jnp.where(
-                    (~take_b)[:, None] & (rowss == spos[:, None]), jnp.inf, cur_s
-                )
+                masks = rowss == spos[:, None]
+                bid = jnp.sum(jnp.where(maskb, cur_best_i, 0), axis=1)
+                sid = jnp.sum(jnp.where(masks, gids, 0), axis=1)
+                idx = jnp.where(take_b, bid, sid)
+                # One-hot write (scatter is not lowerable in Mosaic).
+                colk = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+                write = colk == t
+                new_d = jnp.where(write, val[:, None], new_d)
+                new_i = jnp.where(write, idx[:, None], new_i)
+                # Knock out the consumed entry.
+                cur_best_d = jnp.where(take_b[:, None] & maskb, jnp.inf, cur_best_d)
+                cur_s = jnp.where((~take_b)[:, None] & masks, jnp.inf, cur_s)
                 return cur_s, cur_best_d, cur_best_i, new_d, new_i
 
             _, _, _, new_d, new_i = jax.lax.fori_loop(
@@ -173,6 +175,11 @@ def pallas_topk(
             flops=2 * B * D * N,
             bytes_accessed=N * D * data.dtype.itemsize + B * k * 8,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # Data tile (double-buffered) + score tile + selection carries
+            # exceed the 16M default scoped-vmem budget at useful tile sizes.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
