@@ -124,10 +124,11 @@ class BruteForceIndex(DeviceVectorIndex):
         if count == 0 or k <= 0:
             return [self._empty_reply() for _ in range(nq)]
         q, qnorms = self.preprocess_queries(queries)
-        if self.multi:
-            out = self._topk_multi(q, qnorms, k, nq)
-        else:
-            out = self._topk_single(q, qnorms, k, nq)
+        with self._lock:
+            if self.multi:
+                out = self._topk_multi(q, qnorms, k, nq)
+            else:
+                out = self._topk_single(q, qnorms, k, nq)
         if budget.expired():
             for r in out:
                 r.code = VecSimQueryReplyCode.TimedOut
@@ -182,19 +183,26 @@ class BruteForceIndex(DeviceVectorIndex):
         slot_cap = pow2_bucket(max(self.labels.num_slots, 1))
         q, qnorms = self._padded_queries(q, qnorms, nq)
         dev = self.store.device_arrays()
-        scores = full_scores(
-            jnp.asarray(q),
-            self.store_tuple(dev),
-            jnp.int32(self.store.count),
-            metric=self.metric,
-            kind=self.store_kind,
-            query_norms=None if qnorms is None else jnp.asarray(qnorms),
-        )
         kk = min(k, len(self.labels))
         kpad = min(pow2_bucket(max(kk, 1)), slot_cap)
-        dists, slot_ids = topk_by_slot(scores, dev["slot"], slot_cap, kpad)
-        dists = np.asarray(dists)[:nq]
-        slot_ids = np.asarray(slot_ids)[:nq]
+        # The [B, N] score matrix is materialized for the slot scatter-min;
+        # chunk the query batch so memory stays bounded on big stores.
+        q_chunk = max(1, (1 << 25) // max(self.store.capacity, 1))  # ~128MB f32
+        d_parts, s_parts = [], []
+        for s in range(0, len(q), q_chunk):
+            scores = full_scores(
+                jnp.asarray(q[s : s + q_chunk]),
+                self.store_tuple(dev),
+                jnp.int32(self.store.count),
+                metric=self.metric,
+                kind=self.store_kind,
+                query_norms=None if qnorms is None else jnp.asarray(qnorms[s : s + q_chunk]),
+            )
+            dd, ss = topk_by_slot(scores, dev["slot"], slot_cap, kpad)
+            d_parts.append(np.asarray(dd))
+            s_parts.append(np.asarray(ss))
+        dists = np.concatenate(d_parts)[:nq]
+        slot_ids = np.concatenate(s_parts)[:nq]
         out = []
         for b in range(nq):
             valid = np.isfinite(dists[b])

@@ -600,7 +600,16 @@ class HNSWIndex(DeviceVectorIndex):
         return max(ef, k)
 
     def search_knn(self, queries: np.ndarray, k: int, ef: int):
-        """Device graph search; returns (dists [B, ef'], ids [B, ef'])."""
+        """Device graph search; returns (dists [B, ef'], ids [B, ef']).
+
+        Host bookkeeping is guarded by the index lock (the reference allows
+        lock-free concurrent reads via per-node spinlocks; here device
+        dispatch releases the GIL, so the host-side critical section is
+        short)."""
+        with self._lock:
+            return self._search_knn_locked(queries, k, ef)
+
+    def _search_knn_locked(self, queries: np.ndarray, k: int, ef: int):
         count = self.store.count
         q, qnorms = self.preprocess_queries(queries)
         nq = len(q)

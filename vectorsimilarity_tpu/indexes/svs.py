@@ -448,6 +448,10 @@ class SVSIndex(DeviceVectorIndex):
         return max(ws, k)
 
     def search_knn(self, queries: np.ndarray, k: int, ef: int):
+        with self._lock:
+            return self._search_knn_locked(queries, k, ef)
+
+    def _search_knn_locked(self, queries: np.ndarray, k: int, ef: int):
         count = self.store.count
         q, qnorms, qmeta = self.preprocess_queries(queries)
         nq = len(q)

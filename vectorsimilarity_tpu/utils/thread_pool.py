@@ -57,6 +57,23 @@ class JobQueueThreadPool:
         with self._cv:
             return self._cv.wait_for(lambda: self._in_flight == 0, timeout)
 
+    def resize(self, new_size: int) -> None:
+        """Grow or shrink the worker count (``VecSim_UpdateThreadPoolSize``,
+        vec_sim.cpp:38-48; shrink uses the deferred-exit protocol — workers
+        drain their current job then exit)."""
+        new_size = max(new_size, 1)
+        delta = new_size - len(self._threads)
+        if delta > 0:
+            for _ in range(delta):
+                t = threading.Thread(target=self._worker, daemon=True)
+                self._threads.append(t)
+                t.start()
+        elif delta < 0:
+            for _ in range(-delta):
+                self._q.put(None)  # poison one worker
+            self._threads = self._threads[:new_size]
+        self.num_threads = new_size
+
     def shutdown(self) -> None:
         with self._cv:
             self._stop = True
