@@ -266,38 +266,41 @@ class HNSWIndex(DeviceVectorIndex):
                 q, jnp.full((n, 1), prev_ep, dtype=jnp.int32), ctx,
                 metric=self.metric, kind=self.store_kind, q_norm=qn,
             )[:, 0]
-            # Batched greedy descent to level 1 for everyone.
+            # Level-synchronous descent for the whole batch: at each upper
+            # level, nodes whose own level >= l run the candidate beam (two
+            # device calls per level instead of one per node), everyone else
+            # descends greedily.
+            levels_np = np.asarray(levels)
             for l in range(prev_max, 0, -1):
-                cur, cur_d = greedy_level(
-                    q, ctx, udev["links"], dev["upper_row"], cur, cur_d,
-                    jnp.int32(l), metric=self.metric, kind=self.store_kind, q_norm=qn,
-                )
-            entry0 = np.array(cur)  # writable host copies
-            entry0_d = np.array(cur_d)
-            # Upper-level nodes: individual proper descent + per-level beams.
-            for i in range(n):
-                li = int(levels[i])
-                if li < 1 or prev_max < 1:
-                    continue
-                e_id, e_d = self._upper_descend_single(
-                    q[i : i + 1], ctx, dev, udev, prev_ep, prev_max, li,
-                    None if qn is None else qn[i : i + 1],
-                )
-                for l in range(min(li, prev_max), 0, -1):
-                    bd, bi = beam_search(
-                        q[i : i + 1], ctx, udev["links"], dev["upper_row"],
-                        e_id, e_d, cap, jnp.int32(l),
-                        ef=efc, metric=self.metric, kind=self.store_kind,
-                        q_norm=None if qn is None else qn[i : i + 1],
+                beam_rows = np.nonzero(levels_np >= l)[0]
+                if len(beam_rows):
+                    nb = len(beam_rows)
+                    bpad = pow2_bucket(nb)
+                    padded = np.concatenate(
+                        [beam_rows, np.repeat(beam_rows[-1:], bpad - nb)]
                     )
-                    upper_cands[(i, l)] = (np.asarray(bi)[0], np.asarray(bd)[0])
-                    e_id = bi[:, 0]
-                    e_d = bd[:, 0]
-                entry0[i] = int(np.asarray(e_id)[0])
-                entry0_d[i] = float(np.asarray(e_d)[0])
+                    ridx = jnp.asarray(padded, dtype=jnp.int32)
+                    bd, bi = beam_search(
+                        q[ridx], ctx, udev["links"], dev["upper_row"],
+                        cur[ridx], cur_d[ridx], cap, jnp.int32(l),
+                        ef=efc, metric=self.metric, kind=self.store_kind,
+                        q_norm=None if qn is None else qn[ridx],
+                    )
+                    bi_np, bd_np = np.asarray(bi), np.asarray(bd)
+                    for row, i in enumerate(beam_rows):
+                        upper_cands[(int(i), l)] = (bi_np[row], bd_np[row])
+                    rreal = jnp.asarray(beam_rows, dtype=jnp.int32)
+                    cur = cur.at[rreal].set(bi[:nb, 0])
+                    cur_d = cur_d.at[rreal].set(bd[:nb, 0])
+                greedy_mask = levels_np < l
+                if greedy_mask.any():
+                    cur, cur_d = greedy_level(
+                        q, ctx, udev["links"], dev["upper_row"], cur, cur_d,
+                        jnp.int32(l), jnp.asarray(greedy_mask),
+                        metric=self.metric, kind=self.store_kind, q_norm=qn,
+                    )
             bd, bi = beam_search(
-                q, ctx, dev["links0"], None,
-                jnp.asarray(entry0), jnp.asarray(entry0_d), cap,
+                q, ctx, dev["links0"], None, cur, cur_d, cap,
                 ef=efc, metric=self.metric, kind=self.store_kind, q_norm=qn,
             )
             beam0_d = np.asarray(bd)
@@ -333,28 +336,44 @@ class HNSWIndex(DeviceVectorIndex):
             for nb in chosen:
                 additions.setdefault((nb, 0), []).append(node)
 
-        # --- upper levels: per node ---
+        # --- upper levels: grouped by level, one prune call per level ---
+        by_level: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
         for i, node in enumerate(ids):
             li = int(levels[i])
             for l in range(1, li + 1):
-                gi, gd = upper_cands.get((i, l), (np.empty(0, np.int32), np.empty(0, np.float32)))
+                gi, gd = upper_cands.get(
+                    (i, l), (np.empty(0, np.int32), np.empty(0, np.float32))
+                )
                 mask = levels >= l
                 mask[i] = False
-                intra_i = batch_ids[mask]
-                intra_d = pair[i][mask]
-                ci = np.concatenate([gi, intra_i]).astype(np.int32)
-                cd = np.concatenate([gd, intra_d]).astype(np.float32)
+                ci = np.concatenate([gi, batch_ids[mask]]).astype(np.int32)
+                cd = np.concatenate([gd, pair[i][mask]]).astype(np.float32)
                 if len(ci) == 0:
                     self.set_links(node, l, [])
                     continue
-                s = np.asarray(
-                    diversity_prune(
-                        q[i : i + 1], jnp.asarray(ci[None, :]), jnp.asarray(cd[None, :]),
-                        ctx, m=self.M, metric=self.metric, kind=self.store_kind,
-                        q_norm=None if qn is None else qn[i : i + 1],
-                    )
-                )[0]
-                chosen = [int(x) for x in s if x >= 0]
+                by_level.setdefault(l, []).append((i, ci, cd))
+        for l, group in by_level.items():
+            G = len(group)
+            gpad = pow2_bucket(G)
+            C = pow2_bucket(max(len(ci) for _, ci, _ in group))
+            cand = np.full((gpad, C), -1, dtype=np.int32)
+            cd_m = np.full((gpad, C), np.inf, dtype=np.float32)
+            rows_q = np.zeros(gpad, dtype=np.int32)
+            for g, (i, ci, cdv) in enumerate(group):
+                cand[g, : len(ci)] = ci
+                cd_m[g, : len(ci)] = cdv
+                rows_q[g] = i
+            ridx = jnp.asarray(rows_q)
+            s = np.asarray(
+                diversity_prune(
+                    q[ridx], jnp.asarray(cand), jnp.asarray(cd_m), ctx,
+                    m=self.M, metric=self.metric, kind=self.store_kind,
+                    q_norm=None if qn is None else qn[ridx],
+                )
+            )
+            for g, (i, _, _) in enumerate(group):
+                node = ids[i]
+                chosen = [int(x) for x in s[g] if x >= 0]
                 self.set_links(node, l, chosen)
                 for nb in chosen:
                     additions.setdefault((nb, l), []).append(node)
@@ -367,20 +386,6 @@ class HNSWIndex(DeviceVectorIndex):
             best = int(np.argmax(levels))
             self.entry_id = ids[best]
             self.max_level = int(levels[best])
-
-    def _upper_descend_single(self, q1, ctx, dev, udev, ep, from_level, node_level, qn1):
-        """Greedy descent from `from_level` down to `node_level + 1`."""
-        e_id = jnp.full((1,), ep, dtype=jnp.int32)
-        e_d = dists_to_ids(
-            q1, jnp.full((1, 1), ep, dtype=jnp.int32), ctx,
-            metric=self.metric, kind=self.store_kind, q_norm=qn1,
-        )[:, 0]
-        for l in range(from_level, node_level, -1):
-            e_id, e_d = greedy_level(
-                q1, ctx, udev["links"], dev["upper_row"], e_id, e_d,
-                jnp.int32(l), metric=self.metric, kind=self.store_kind, q_norm=qn1,
-            )
-        return e_id, e_d
 
     def _apply_reverse_edges(self, additions: dict[tuple[int, int], list[int]]) -> None:
         """Add new-node backlinks; re-prune overflowing rows on device.
@@ -411,12 +416,15 @@ class HNSWIndex(DeviceVectorIndex):
             if not group:
                 continue
             m = self.M0 if lvl_zero else self.M
-            C = max(len(c) for _, _, c in group)
-            B = len(group)
+            # Pow2 padding keeps the jit cache small across batches.
+            C = pow2_bucket(max(len(c) for _, _, c in group))
+            B = pow2_bucket(len(group))
             cand = np.full((B, C), -1, dtype=np.int32)
             for bi, (_, _, c) in enumerate(group):
                 cand[bi, : len(c)] = c
-            nodes = np.asarray([g[0] for g in group], dtype=np.int32)
+            nodes = np.asarray(
+                [g[0] for g in group] + [group[-1][0]] * (B - len(group)), dtype=np.int32
+            )
             q = dev["data"][jnp.asarray(nodes)]
             qn = None
             if ctx.norm is not None:
