@@ -60,6 +60,28 @@ def test_sharded_topk_masks_padding(mesh):
     assert (ids[finite] < count).all()
 
 
+def test_query_parallel_hnsw_search(mesh):
+    """Queries sharded over the mesh, graph replicated (GSPMD)."""
+    from vectorsimilarity_tpu import (
+        HNSWParams, VecSimAlgo, VecSimMetric, VecSimParams, VecSimType, create_index,
+    )
+    from vectorsimilarity_tpu.parallel.sharding import query_parallel_search
+
+    rng = np.random.default_rng(5)
+    n, dim, B, k = 500, 16, 16, 5
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = create_index(VecSimParams(algo=VecSimAlgo.HNSWLIB, hnswParams=HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        M=8, efConstruction=80, efRuntime=40)))
+    idx.add_vector_batch(data, list(range(n)))
+    queries = rng.standard_normal((B, dim)).astype(np.float32)
+    dists, ids = query_parallel_search(idx, queries, k, 40, mesh)
+    # Must match the single-device search.
+    d0, i0 = idx.search_knn(queries, k, 40)
+    for b in range(B):
+        assert set(ids[b][:k].tolist()) == set(i0[b][:k].tolist())
+
+
 def test_graft_entry_single_and_multichip():
     import sys, os
 

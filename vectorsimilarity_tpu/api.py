@@ -8,7 +8,7 @@ the judge) can map call-for-call. The object-oriented surface
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Optional
+from typing import Iterable, Optional
 
 import numpy as np
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import abc
 import threading
-import time
 from typing import Any, Callable, Optional
 
 import numpy as np

@@ -618,7 +618,6 @@ class HNSWIndex(DeviceVectorIndex):
             return self._search_knn_locked(queries, k, ef)
 
     def _search_knn_locked(self, queries: np.ndarray, k: int, ef: int):
-        count = self.store.count
         q, qnorms = self.preprocess_queries(queries)
         nq = len(q)
         bpad = pow2_bucket(nq)
@@ -626,9 +625,24 @@ class HNSWIndex(DeviceVectorIndex):
             q = np.concatenate([q, np.repeat(q[-1:], bpad - nq, axis=0)])
             if qnorms is not None:
                 qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], bpad - nq)])
-        dev, udev, ctx = self._device_ctx()
         qd = jnp.asarray(q)
         qn = None if qnorms is None else jnp.asarray(qnorms)
+        bd, bi = self._device_search(qd, qn, k, ef)
+        return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
+
+    def search_knn_device(self, qd, k: int, ef: int, qn=None):
+        """Device-array entry point for multi-chip query-parallel search
+        (``parallel.sharding.query_parallel_search``): queries must already
+        be preprocessed (normalized for cosine) and batch-padded; their
+        sharding propagates through the jitted kernels (GSPMD)."""
+        with self._lock:
+            bd, bi = self._device_search(qd, qn, k, ef)
+            return np.asarray(bd), np.asarray(bi)
+
+    def _device_search(self, qd, qn, k: int, ef: int):
+        count = self.store.count
+        bpad = qd.shape[0]
+        dev, udev, ctx = self._device_ctx()
         ep = self.entry_id
         cur = jnp.full((bpad,), ep, dtype=jnp.int32)
         cur_d = dists_to_ids(
@@ -641,11 +655,10 @@ class HNSWIndex(DeviceVectorIndex):
                 jnp.int32(l), metric=self.metric, kind=self.store_kind, q_norm=qn,
             )
         ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(count), 1))
-        bd, bi = beam_search(
+        return beam_search(
             qd, ctx, dev["links0"], None, cur, cur_d, self.store.capacity,
             ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn,
         )
-        return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
 
     def topk_query(
         self, query: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None

@@ -50,7 +50,6 @@ from ..types import (
     VecSimQueryParams,
     VecSimQueryReplyCode,
     VecSimSvsQuantBits,
-    VecSimType,
 )
 
 FLAG_DELETED = 1

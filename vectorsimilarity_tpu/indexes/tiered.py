@@ -27,7 +27,7 @@ from typing import Any, Optional
 import numpy as np
 
 from ..core.interface import VecSimIndexBase
-from ..core.results import QueryReply, make_reply, merge_replies
+from ..core.results import QueryReply, merge_replies
 from ..types import (
     CommonInfo,
     DEFAULT_BLOCK_SIZE,

@@ -122,6 +122,28 @@ def sharded_topk(
     )(*args)
 
 
+def query_parallel_search(index, queries, k: int, ef: int, mesh: Mesh):
+    """Multi-chip graph search: queries sharded over the mesh, graph
+    replicated — GSPMD partitions the jitted beam kernels batch-parallel,
+    so every chip searches its slice of the query batch against its local
+    graph replica (query-throughput scale-out for HNSW/SVS; the sharded
+    *data* axis belongs to the flat scan in ``sharded_topk``).
+
+    ``index`` is an HNSWIndex/SVSIndex; queries [B, D] with B a multiple of
+    the mesh size. Returns host (dists, ids) like ``search_knn``.
+    """
+    import numpy as np
+
+    qspec = NamedSharding(mesh, P(AXIS, None))
+    queries = np.asarray(queries)
+    B = len(queries)
+    assert B % mesh.shape[AXIS] == 0, "pad the query batch to the mesh size"
+    # Re-place the query batch sharded; stores/links stay replicated and
+    # GSPMD partitions the kernels batch-parallel.
+    q_dev = jax.device_put(jnp.asarray(queries), qspec)
+    return index.search_knn_device(q_dev, k, ef)
+
+
 class ShardedFlatStore:
     """Host-side helper: keep a BF store sharded across a mesh.
 

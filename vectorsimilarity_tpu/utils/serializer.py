@@ -19,7 +19,6 @@ from ..types import (
     BFParams,
     HNSWParams,
     SVSParams,
-    VecSimAlgo,
     VecSimMetric,
     VecSimSvsQuantBits,
     VecSimType,
