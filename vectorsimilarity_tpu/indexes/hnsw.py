@@ -215,6 +215,7 @@ class HNSWIndex(DeviceVectorIndex):
             levels = np.asarray([self._sample_level() for _ in range(n)], dtype=np.int32)
             rows["level"] = levels
             if levels.max(initial=0) + 1 > self.lmax:
+                self.log("debug", f"growing upper-level capacity to {int(levels.max()) + 1}")
                 self._grow_lmax(int(levels.max()) + 1)
             ids = self.store.append(rows)
             for i, node in enumerate(ids):

@@ -93,6 +93,11 @@ class SVSIndex(DeviceVectorIndex):
         ):
             # Graceful fallback, mirroring the reference factory's behavior
             # when a quant flavor is unsupported on the target.
+            self._pending_log = (
+                "warning",
+                f"SVS quantization mode {quant.name} is not yet supported on "
+                "this target; falling back to Scalar (SQ8)",
+            )
             quant = VecSimSvsQuantBits.Scalar
         self.quant = quant
         self.is_sq8 = quant in (VecSimSvsQuantBits.Scalar, VecSimSvsQuantBits.Q8)
@@ -127,6 +132,8 @@ class SVSIndex(DeviceVectorIndex):
         self.entry_id = -1
         self.num_marked_deleted = 0
         self._inserts_since_medoid = 0
+        if getattr(self, "_pending_log", None):
+            self.log(*self._pending_log)
 
     # ------------------------------------------------------------------
     # Preprocessing (quantizing storage pipeline)

@@ -237,6 +237,9 @@ class TieredHNSWIndex(VecSimIndexBase):
         VecSimTieredIndex_GC, hnsw_tiered.h:332-362, 230-235)."""
         with self._glock:
             be = self.backend
+            if be.num_marked_deleted:
+                self.log("verbose",
+                         f"tiered GC: applying {be.num_marked_deleted} pending swaps")
             while True:
                 count = be.store.count
                 flagged = np.nonzero(be.store.host["flags"][:count] & 1)[0]
