@@ -113,8 +113,11 @@ def main() -> None:
     assert idx.index_size == n
 
     queries = rng.standard_normal((B, dim)).astype(np.float32)
-    # Warmup: compile + first data sync.
-    idx.topk_query_batch(queries, k)
+    from vectorsimilarity_tpu.core.abstract_index import retry_device
+
+    # Warmup: compile + first data sync (retry shields against transient
+    # remote-compile failures on shared tunnels).
+    retry_device(lambda: idx.topk_query_batch(queries, k), attempts=4)
     idx.topk_query_batch(queries, k)
     t0 = time.perf_counter()
     for _ in range(args.repeats):

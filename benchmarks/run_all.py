@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--queries", type=int, default=128)
     ap.add_argument("--small", action="store_true", help="20k x 64 sanity config")
     ap.add_argument("--skip-hnsw", action="store_true")
+    ap.add_argument("--skip-bf", action="store_true")
+    ap.add_argument("--build-batch", type=int, default=2048)
     args = ap.parse_args()
     if args.small:
         args.n, args.dim, args.queries = 20_000, 64, 32
@@ -53,20 +55,24 @@ def main():
     n, dim, B = args.n, args.dim, args.queries
     dev = jax.devices()[0]
     emit(event="config", n=n, dim=dim, queries=B, device=str(dev))
+    rng = np.random.default_rng(1)
+    queries = rng.standard_normal((B, dim)).astype(np.float32)
+    add_vecs = rng.standard_normal((1024, dim)).astype(np.float32)
+    from vectorsimilarity_tpu.core.store import _bucket_capacity as _bcap
+    import jax.numpy as _jnp
+    data = jax.random.normal(jax.random.PRNGKey(0), (_bcap(n, 1024), dim), dtype=_jnp.float32)
+    data = data / _jnp.linalg.norm(data, axis=1, keepdims=True)
+    _ = float(_jnp.sum(data[:: max(data.shape[0] // 16, 1), 0]))
+    if args.skip_bf:
+        _run_hnsw(args, vs, jax, data, queries, add_vecs, emit)
+        return
 
     # ---------------- BF index (device-side data) ----------------
     bf = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
         type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine)))
-    cap = _bucket_capacity(n, bf.store.block_size)
-    data = jax.random.normal(jax.random.PRNGKey(0), (cap, dim), dtype=jnp.float32)
-    data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
-    _ = float(jnp.sum(data[:: max(cap // 16, 1), 0]))  # force materialization
     bf.store.adopt_device({"data": data}, count=n)
     bf.labels.label_to_id = {i: i for i in range(n)}
     bf.store.host["label"][:n] = np.arange(n, dtype=np.int64)
-
-    rng = np.random.default_rng(1)
-    queries = rng.standard_normal((B, dim)).astype(np.float32)
 
     for k in (10, 100, 500):
         bf.topk_query_batch(queries, k)  # warm
@@ -97,7 +103,6 @@ def main():
         emit(event="bf_batch_iter", batch=bs, n_batches=3, ms=round(dt * 1e3, 2))
 
     # Add/Delete label timing (host-path writes)
-    add_vecs = rng.standard_normal((1024, dim)).astype(np.float32)
     t0 = time.perf_counter()
     for i, v in enumerate(add_vecs):
         bf.add_vector(v, n + i)
@@ -111,7 +116,16 @@ def main():
 
     if args.skip_hnsw:
         return
+    _run_hnsw(args, vs, jax, data, queries, add_vecs, emit)
 
+
+def _run_hnsw(args, vs, jax, data, queries, add_vecs, emit):
+    import numpy as np
+    import sys
+    import time
+    from vectorsimilarity_tpu.core.store import _bucket_capacity
+
+    n, dim, B = args.n, args.dim, args.queries
     # ---------------- HNSW (reference M=16 efC=200 config) ----------------
     hn_n = min(n, 200_000)  # build cost scales with n; cap for wall-clock
     hn = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.HNSWLIB, hnswParams=vs.HNSWParams(
@@ -119,9 +133,12 @@ def main():
         M=16, efConstruction=200)))
     host_data = np.asarray(data[:hn_n])
     t0 = time.perf_counter()
-    batch = 4096
+    batch = args.build_batch
     for s in range(0, hn_n, batch):
         hn.add_vector_batch(host_data[s : s + batch], list(range(s, min(s + batch, hn_n))))
+        if (s // batch) % 8 == 0:
+            print(f"# hnsw build {s + batch}/{hn_n} "
+                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr, flush=True)
     build_s = time.perf_counter() - t0
     emit(event="hnsw_build", n=hn_n, M=16, efC=200, seconds=round(build_s, 1),
          vectors_per_sec=round(hn_n / build_s, 1))

@@ -32,6 +32,29 @@ def _x64_enabled() -> bool:
     return bool(jax.config.jax_enable_x64)
 
 
+def retry_device(fn, attempts: int = 3, delay: float = 2.0):
+    """Retry a device computation on transient backend failures.
+
+    The axon relay's remote-compile helper occasionally returns HTTP 500 on
+    a fresh kernel shape; the retry usually lands in its cache. Only
+    idempotent computations should be wrapped."""
+    import time
+
+    import jax
+
+    last = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover - backend flake
+            msg = str(e)
+            if "remote_compile" not in msg and "INTERNAL" not in msg:
+                raise
+            last = e
+            time.sleep(delay * (attempt + 1))
+    raise last
+
+
 def pow2_bucket(n: int, lo: int = 1) -> int:
     b = lo
     while b < n:

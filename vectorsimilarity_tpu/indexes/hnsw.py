@@ -33,7 +33,7 @@ from typing import Any, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.abstract_index import DeviceVectorIndex, pow2_bucket
+from ..core.abstract_index import DeviceVectorIndex, pow2_bucket, retry_device
 from ..core.interface import TimeoutBudget
 from ..core.results import QueryReply, make_reply
 from ..core.store import BlockStore, FieldSpec
@@ -228,7 +228,10 @@ class HNSWIndex(DeviceVectorIndex):
                     self.labels.add(labels[i], node)
                 if levels[i] >= 1:
                     self._alloc_upper_row(node)
-            self._connect_batch([int(x) for x in ids], levels)
+            # _connect_batch is idempotent for a fixed id set (links are
+            # overwritten, reverse-edge application dedups), so transient
+            # backend failures can simply re-run it.
+            retry_device(lambda: self._connect_batch([int(x) for x in ids], levels))
             if self.multi:
                 return n
             return n if not overwrite else n - len(overwrite)

@@ -25,7 +25,7 @@ from typing import Any, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.abstract_index import DeviceVectorIndex, pow2_bucket
+from ..core.abstract_index import DeviceVectorIndex, pow2_bucket, retry_device
 from ..core.interface import TimeoutBudget
 from ..core.results import QueryReply, make_reply
 from ..core.store import FieldSpec
@@ -246,7 +246,7 @@ class SVSIndex(DeviceVectorIndex):
                     self.store.mark_dirty(node)
                 else:
                     self.labels.add(labels[i], node)
-            self._connect_batch(ids, vecs)
+            retry_device(lambda: self._connect_batch(ids, vecs))
             self._inserts_since_medoid += n
             if self.entry_id < 0 or self._inserts_since_medoid * 8 > self.store.count:
                 self._update_medoid()
