@@ -241,28 +241,22 @@ class HNSWIndex(DeviceVectorIndex):
     def _connect_batch(self, ids: list[int], levels: np.ndarray) -> None:
         prev_ep, prev_max = self.entry_id, self.max_level
         n = len(ids)
-        q_host = self.store.host["data"][ids]
-        qn_host = (
-            self.store.host["norm"][ids]
-            if ("norm" in self.store.fields and self.metric == VecSimMetric.Cosine)
-            else None
-        )
-
         # Candidate lists per new node, per level: {(i, lvl): (ids, dists)}
         dev, udev, ctx = self._device_ctx()
-        q = jnp.asarray(
-            q_host.astype(np.float32)
-            if q_host.dtype == np.float64 and dev["data"].dtype == jnp.float32
-            else q_host
-        )
-        qn = None if qn_host is None else jnp.asarray(qn_host)
+        # The batch rows were just synced to device; slice them there instead
+        # of re-uploading from host.
+        row_sel = jnp.asarray(np.asarray(ids, dtype=np.int32))
+        q = dev["data"][row_sel]
+        qn = None
+        if "norm" in self.store.fields and self.metric == VecSimMetric.Cosine:
+            qn = dev["norm"][row_sel]
         efc = self.ef_construction
         cap = self.store.capacity
 
         # --- graph candidates (snapshot excludes this batch: new rows have
         # no incoming links yet, so they are unreachable) ---
-        beam0_d = np.full((n, efc), np.inf, dtype=np.float32)
-        beam0_i = np.full((n, efc), -1, dtype=np.int32)
+        beam0_d = jnp.full((n, efc), jnp.inf, dtype=jnp.float32)
+        beam0_i = jnp.full((n, efc), -1, dtype=jnp.int32)
         upper_cands: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
         if prev_ep >= 0:
             cur = jnp.full((n,), prev_ep, dtype=jnp.int32)
@@ -303,36 +297,41 @@ class HNSWIndex(DeviceVectorIndex):
                         jnp.int32(l), jnp.asarray(greedy_mask),
                         metric=self.metric, kind=self.store_kind, q_norm=qn,
                     )
-            bd, bi = beam_search(
+            beam0_d, beam0_i = beam_search(
                 q, ctx, dev["links0"], None, cur, cur_d, cap,
                 ef=efc, metric=self.metric, kind=self.store_kind, q_norm=qn,
             )
-            beam0_d = np.asarray(bd)
-            beam0_i = np.asarray(bi)
 
-        # --- intra-batch candidates ---
-        if n > 1:
-            pair = np.array(  # writable copy: diagonal gets masked below
-                dists_to_ids(
-                    q,
-                    jnp.broadcast_to(jnp.asarray(ids, dtype=jnp.int32)[None, :], (n, n)),
-                    ctx, metric=self.metric, kind=self.store_kind, q_norm=qn,
-                )
-            )
-            np.fill_diagonal(pair, np.inf)
-        else:
-            pair = np.full((1, 1), np.inf, dtype=np.float32)
+        # --- intra-batch candidates (kept on device; the host only sees the
+        # small per-upper-node slices and the final pruned links — the
+        # [n, n] matrix and [n, efc] beams never cross the host boundary) ---
         batch_ids = np.asarray(ids, dtype=np.int32)
+        ids_dev = jnp.asarray(batch_ids)
+        if n > 1:
+            pair_dev = dists_to_ids(
+                q, jnp.broadcast_to(ids_dev[None, :], (n, n)),
+                ctx, metric=self.metric, kind=self.store_kind, q_norm=qn,
+            )
+            eye = jnp.eye(n, dtype=bool)
+            pair_dev = jnp.where(eye, jnp.inf, pair_dev)
+        else:
+            pair_dev = jnp.full((1, 1), jnp.inf, dtype=jnp.float32)
 
         # --- level 0: merge + prune for the whole batch in one device call ---
-        cand_i = np.concatenate([beam0_i, np.broadcast_to(batch_ids, (n, n))], axis=1)
-        cand_d = np.concatenate([beam0_d, pair], axis=1)
+        cand_i_dev = jnp.concatenate([beam0_i, jnp.broadcast_to(ids_dev[None, :], (n, n))], axis=1)
+        cand_d_dev = jnp.concatenate([beam0_d, pair_dev], axis=1)
         sel = np.asarray(
             diversity_prune(
-                q, jnp.asarray(cand_i), jnp.asarray(cand_d), ctx,
+                q, cand_i_dev, cand_d_dev, ctx,
                 m=self.M0, metric=self.metric, kind=self.store_kind, q_norm=qn,
             )
         )
+        # Host copies of the intra-batch distances only for upper-level nodes.
+        upper_rows = np.nonzero(np.asarray(levels) >= 1)[0]
+        pair = None
+        if len(upper_rows):
+            pair = np.asarray(pair_dev[jnp.asarray(upper_rows)])  # [U, n]
+        pair_row = {int(r): j for j, r in enumerate(upper_rows)}
         additions: dict[tuple[int, int], list[int]] = {}
         for i, node in enumerate(ids):
             chosen = [int(x) for x in sel[i] if x >= 0]
@@ -351,7 +350,7 @@ class HNSWIndex(DeviceVectorIndex):
                 mask = levels >= l
                 mask[i] = False
                 ci = np.concatenate([gi, batch_ids[mask]]).astype(np.int32)
-                cd = np.concatenate([gd, pair[i][mask]]).astype(np.float32)
+                cd = np.concatenate([gd, pair[pair_row[i]][mask]]).astype(np.float32)
                 if len(ci) == 0:
                     self.set_links(node, l, [])
                     continue

@@ -270,49 +270,61 @@ class SVSIndex(DeviceVectorIndex):
             qn = self.store.host["norm"][ids]
         return q, qn, None
 
+    def _device_queries(self, dev, ids_dev):
+        """Float query views of stored rows, sliced on device (sq8 rows are
+        reconstructed on device; no host round-trip)."""
+        if self.is_sq8:
+            codes = dev["data"][ids_dev].astype(jnp.float32)
+            vmin = dev["vmin"][ids_dev][:, None]
+            delta = dev["delta"][ids_dev][:, None]
+            q = vmin + delta * codes
+            ysum = jnp.sum(q, axis=-1)
+            ysumsq = jnp.sum(q * q, axis=-1)
+            return q, None, (ysum, ysumsq)
+        q = dev["data"][ids_dev]
+        qn = None
+        if "norm" in self.store.fields and self.metric == VecSimMetric.Cosine:
+            qn = dev["norm"][ids_dev]
+        return q, qn, None
+
     def _connect_batch(self, ids: list[int], raw_vecs: np.ndarray) -> None:
         prev_entry = self.entry_id
         n = len(ids)
-        q_host, qn_host, qmeta_host = self._q_dev(ids)
         dev = self.store.device_arrays()
         ctx = self._ctx(dev)
-        q = jnp.asarray(q_host)
-        qn = None if qn_host is None else jnp.asarray(qn_host)
-        qm = None if qmeta_host is None else tuple(jnp.asarray(x) for x in qmeta_host)
+        batch_ids = np.asarray(ids, dtype=np.int32)
+        ids_dev = jnp.asarray(batch_ids)
+        q, qn, qm = self._device_queries(dev, ids_dev)
         L = self.L_build
         cap = self.store.capacity
 
-        beam_i = np.full((n, L), -1, dtype=np.int32)
-        beam_d = np.full((n, L), np.inf, dtype=np.float32)
+        beam_i = jnp.full((n, L), -1, dtype=jnp.int32)
+        beam_d = jnp.full((n, L), jnp.inf, dtype=jnp.float32)
         if prev_entry >= 0:
             e = jnp.full((n,), prev_entry, dtype=jnp.int32)
             ed = dists_to_ids(
                 q, jnp.full((n, 1), prev_entry, dtype=jnp.int32), ctx,
                 metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
             )[:, 0]
-            bd, bi = beam_search(
+            beam_d, beam_i = beam_search(
                 q, ctx, dev["links"], None, e, ed, cap,
                 ef=L, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
             )
-            beam_d, beam_i = np.asarray(bd), np.asarray(bi)
 
         if n > 1:
-            pair = np.array(
-                dists_to_ids(
-                    q, jnp.broadcast_to(jnp.asarray(ids, dtype=jnp.int32)[None, :], (n, n)),
-                    ctx, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
-                )
+            pair = dists_to_ids(
+                q, jnp.broadcast_to(ids_dev[None, :], (n, n)),
+                ctx, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
             )
-            np.fill_diagonal(pair, np.inf)
+            pair = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, pair)
         else:
-            pair = np.full((1, 1), np.inf, dtype=np.float32)
-        batch_ids = np.asarray(ids, dtype=np.int32)
+            pair = jnp.full((1, 1), jnp.inf, dtype=jnp.float32)
 
-        cand_i = np.concatenate([beam_i, np.broadcast_to(batch_ids, (n, n))], axis=1)
-        cand_d = np.concatenate([beam_d, pair], axis=1)
+        cand_i = jnp.concatenate([beam_i, jnp.broadcast_to(ids_dev[None, :], (n, n))], axis=1)
+        cand_d = jnp.concatenate([beam_d, pair], axis=1)
         sel = np.asarray(
             diversity_prune(
-                q, jnp.asarray(cand_i), jnp.asarray(cand_d), ctx,
+                q, cand_i, cand_d, ctx,
                 m=self.R, metric=self.metric, kind=self.store_kind,
                 alpha=self._prune_alpha, q_norm=qn,
             )
