@@ -130,7 +130,7 @@ def _run_hnsw(args, vs, jax, data, queries, add_vecs, emit):
     hn_n = min(n, 200_000)  # build cost scales with n; cap for wall-clock
     hn = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.HNSWLIB, hnswParams=vs.HNSWParams(
         type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine,
-        M=16, efConstruction=200)))
+        M=16, efConstruction=200, initialCapacity=hn_n)))
     host_data = np.asarray(data[:hn_n])
     t0 = time.perf_counter()
     batch = args.build_batch

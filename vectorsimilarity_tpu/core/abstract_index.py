@@ -75,6 +75,7 @@ class DeviceVectorIndex(VecSimIndexBase):
         block_size: int,
         log_ctx: Any = None,
         extra_fields: Optional[dict[str, FieldSpec]] = None,
+        initial_capacity: int = 0,
     ):
         super().__init__(log_ctx)
         if dim <= 0:
@@ -107,6 +108,13 @@ class DeviceVectorIndex(VecSimIndexBase):
             fields.update(extra_fields)
 
         self.store = BlockStore(fields, self.block_size)
+        if initial_capacity:
+            # Pre-size to the expected dataset size: jitted kernels are
+            # shape-keyed on the capacity bucket, so pre-sizing avoids one
+            # recompile sweep per doubling during bulk builds.
+            from .store import _bucket_capacity
+
+            self.store._resize(_bucket_capacity(initial_capacity, self.block_size))
         self.labels = MultiLabelMap() if self.multi else SingleLabelMap()
 
     # ------------------------------------------------------------------

@@ -50,6 +50,7 @@ class BruteForceIndex(DeviceVectorIndex):
             multi=params.multi,
             block_size=params.blockSize,
             log_ctx=log_ctx,
+            initial_capacity=params.initialCapacity,
         )
         self.params = params
 
@@ -66,7 +67,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 idx = int(self.store.append(rows)[0])
                 slot = self.labels.add(label, idx)
                 self.store.host["slot"][idx] = slot
-                self.store._dirty_rows.add(idx)  # slot written after append
+                self.store.mark_dirty(idx, "slot")  # slot written after append
                 return 1
             existing = self.labels.ids_of(label)
             if existing:

@@ -79,6 +79,7 @@ class HNSWIndex(DeviceVectorIndex):
             multi=params.multi,
             block_size=params.blockSize,
             log_ctx=log_ctx,
+            initial_capacity=params.initialCapacity,
             extra_fields={
                 "level": FieldSpec((), np.int32),
                 "upper_row": FieldSpec((), np.int32, fill=-1),
@@ -138,7 +139,7 @@ class HNSWIndex(DeviceVectorIndex):
             )[0]
         )
         self.store.host["upper_row"][node] = r
-        self.store.mark_dirty(node)
+        self.store.mark_dirty(node, "upper_row")
         return r
 
     # ------------------------------------------------------------------
@@ -160,7 +161,7 @@ class HNSWIndex(DeviceVectorIndex):
             row[: len(ids)] = ids
             row[len(ids) :] = -1
             self.store.host["nlinks0"][node] = len(ids)
-            self.store.mark_dirty(node)
+            self.store.mark_dirty(node, "links0", "nlinks0")
             return
         assert len(ids) <= self.M
         r = int(self.store.host["upper_row"][node])
@@ -168,7 +169,7 @@ class HNSWIndex(DeviceVectorIndex):
         row[: len(ids)] = ids
         row[len(ids) :] = -1
         self.upper.host["nlinks"][r, lvl - 1] = len(ids)
-        self.upper.mark_dirty(r)
+        self.upper.mark_dirty(r, "links", "nlinks")
 
     def node_level(self, node: int) -> int:
         return int(self.store.host["level"][node])
@@ -223,7 +224,7 @@ class HNSWIndex(DeviceVectorIndex):
                 if self.multi:
                     slot = self.labels.add(labels[i], node)
                     self.store.host["slot"][node] = slot
-                    self.store.mark_dirty(node)
+                    self.store.mark_dirty(node, "slot")
                 else:
                     self.labels.add(labels[i], node)
                 if levels[i] >= 1:
@@ -332,12 +333,20 @@ class HNSWIndex(DeviceVectorIndex):
         if len(upper_rows):
             pair = np.asarray(pair_dev[jnp.asarray(upper_rows)])  # [U, n]
         pair_row = {int(r): j for j, r in enumerate(upper_rows)}
+        # Bulk-write the new nodes' level-0 rows (sel is already compacted
+        # to the front with -1 padding, matching the row layout).
+        self.store.host["links0"][batch_ids] = sel
+        self.store.host["nlinks0"][batch_ids] = (sel >= 0).sum(axis=1).astype(np.int32)
+        for node in batch_ids:
+            self.store.mark_dirty(int(node), "links0", "nlinks0")
+        # Reverse edges (nb <- node) for level 0, applied natively when the
+        # host runtime is available.
+        valid_sel = sel >= 0
+        pairs = np.column_stack(
+            [sel[valid_sel], np.broadcast_to(batch_ids[:, None], sel.shape)[valid_sel]]
+        ).astype(np.int32)
+        self._apply_reverse_edges_l0(pairs)
         additions: dict[tuple[int, int], list[int]] = {}
-        for i, node in enumerate(ids):
-            chosen = [int(x) for x in sel[i] if x >= 0]
-            self.set_links(node, 0, chosen)
-            for nb in chosen:
-                additions.setdefault((nb, 0), []).append(node)
 
         # --- upper levels: grouped by level, one prune call per level ---
         by_level: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
@@ -389,6 +398,36 @@ class HNSWIndex(DeviceVectorIndex):
             best = int(np.argmax(levels))
             self.entry_id = ids[best]
             self.max_level = int(levels[best])
+
+    def _apply_reverse_edges_l0(self, pairs: np.ndarray) -> None:
+        """Level-0 back-edges for a whole batch: native C append with
+        overflow detection; Python fallback groups per neighbor."""
+        from .. import native_bridge
+
+        count = self.store.count
+        links0 = self.store.host["links0"]
+        nlinks0 = self.store.host["nlinks0"]
+        res = native_bridge.apply_reverse_edges(links0[:count], nlinks0[:count], pairs)
+        if res is None:
+            additions: dict[tuple[int, int], list[int]] = {}
+            for nb, node in pairs:
+                additions.setdefault((int(nb), 0), []).append(int(node))
+            self._apply_reverse_edges(additions)
+            return
+        overflow, dirty = res
+        for r in dirty:
+            self.store.mark_dirty(int(r), "links0", "nlinks0")
+        if len(overflow):
+            over_set = set(int(x) for x in overflow)
+            pending: dict[int, list[int]] = {}
+            for nb, node in pairs:
+                if int(nb) in over_set:
+                    pending.setdefault(int(nb), []).append(int(node))
+            rows = [
+                (nb, 0, list(dict.fromkeys(self.get_links(nb, 0) + fresh)))
+                for nb, fresh in pending.items()
+            ]
+            self._reprune_rows(rows)
 
     def _apply_reverse_edges(self, additions: dict[tuple[int, int], list[int]]) -> None:
         """Add new-node backlinks; re-prune overflowing rows on device.
@@ -548,9 +587,9 @@ class HNSWIndex(DeviceVectorIndex):
         self.upper.swap_delete(r)
         if r != last:
             self.store.host["upper_row"][moved_vec] = r
-            self.store.mark_dirty(moved_vec)
+            self.store.mark_dirty(moved_vec, "upper_row")
         self.store.host["upper_row"][node] = -1
-        self.store.mark_dirty(node)
+        self.store.mark_dirty(node, "upper_row")
 
     def _swap_remove(self, node: int) -> None:
         last = self.store.count - 1
@@ -562,7 +601,7 @@ class HNSWIndex(DeviceVectorIndex):
             r = int(self.store.host["upper_row"][last])
             if r >= 0:
                 self.upper.host["vec"][r] = node
-                self.upper.mark_dirty(r)
+                self.upper.mark_dirty(r, "vec")
             moved_label = int(self.store.host["label"][last])
             # Tombstoned rows are no longer in the label map (mark_delete
             # removed them); only live rows need the relocation recorded.
@@ -585,7 +624,7 @@ class HNSWIndex(DeviceVectorIndex):
         The tiered GC path: repair neighbors + swap, exactly like
         ``_delete_node`` (removeAndSwapMarkDeletedElement, hnsw.h:1694)."""
         self.store.host["flags"][node] &= ~np.uint8(FLAG_DELETED)
-        self.store.mark_dirty(node)
+        self.store.mark_dirty(node, "flags")
         self._delete_node(node)
 
     def mark_delete(self, label: int) -> list[int]:
@@ -594,7 +633,7 @@ class HNSWIndex(DeviceVectorIndex):
             ids = self.labels.remove_label(label)
             for node in ids:
                 self.store.host["flags"][node] |= FLAG_DELETED
-                self.store.mark_dirty(node)
+                self.store.mark_dirty(node, "flags")
                 self.num_marked_deleted += 1
             if self.entry_id in ids:
                 self._replace_entry_point(exclude=self.entry_id)

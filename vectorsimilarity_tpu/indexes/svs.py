@@ -194,7 +194,7 @@ class SVSIndex(DeviceVectorIndex):
         row[: len(ids)] = ids
         row[len(ids) :] = -1
         self.store.host["nlinks"][node] = len(ids)
-        self.store.mark_dirty(node)
+        self.store.mark_dirty(node, "links", "nlinks")
 
     # ------------------------------------------------------------------
     # Medoid entry point
@@ -243,7 +243,7 @@ class SVSIndex(DeviceVectorIndex):
                 if self.multi:
                     slot = self.labels.add(labels[i], node)
                     self.store.host["slot"][node] = slot
-                    self.store.mark_dirty(node)
+                    self.store.mark_dirty(node, "slot")
                 else:
                     self.labels.add(labels[i], node)
             retry_device(lambda: self._connect_batch(ids, vecs))
@@ -329,13 +329,44 @@ class SVSIndex(DeviceVectorIndex):
                 alpha=self._prune_alpha, q_norm=qn,
             )
         )
-        additions: dict[int, list[int]] = {}
-        for i, node in enumerate(ids):
-            chosen = [int(x) for x in sel[i] if x >= 0]
-            self.set_links(node, chosen)
-            for nb in chosen:
-                additions.setdefault(nb, []).append(node)
-        self._apply_reverse_edges(additions)
+        self.store.host["links"][batch_ids] = sel
+        self.store.host["nlinks"][batch_ids] = (sel >= 0).sum(axis=1).astype(np.int32)
+        for node in batch_ids:
+            self.store.mark_dirty(int(node), "links", "nlinks")
+        valid_sel = sel >= 0
+        pairs = np.column_stack(
+            [sel[valid_sel], np.broadcast_to(batch_ids[:, None], sel.shape)[valid_sel]]
+        ).astype(np.int32)
+        self._apply_reverse_edges_fast(pairs)
+
+    def _apply_reverse_edges_fast(self, pairs: np.ndarray) -> None:
+        """Batch back-edges via the native host runtime; Python fallback."""
+        from .. import native_bridge
+
+        count = self.store.count
+        links = self.store.host["links"]
+        nlinks = self.store.host["nlinks"]
+        res = native_bridge.apply_reverse_edges(links[:count], nlinks[:count], pairs)
+        if res is None:
+            additions: dict[int, list[int]] = {}
+            for nb, node in pairs:
+                additions.setdefault(int(nb), []).append(int(node))
+            self._apply_reverse_edges(additions)
+            return
+        overflow, dirty = res
+        for r in dirty:
+            self.store.mark_dirty(int(r), "links", "nlinks")
+        if len(overflow):
+            over_set = set(int(x) for x in overflow)
+            pending: dict[int, list[int]] = {}
+            for nb, node in pairs:
+                if int(nb) in over_set:
+                    pending.setdefault(int(nb), []).append(int(node))
+            rows = [
+                (nb, list(dict.fromkeys(self.get_links(nb) + fresh)))
+                for nb, fresh in pending.items()
+            ]
+            self._reprune_rows(rows)
 
     def _apply_reverse_edges(self, additions: dict[int, list[int]]) -> None:
         overflow: list[tuple[int, list[int]]] = []
@@ -444,13 +475,13 @@ class SVSIndex(DeviceVectorIndex):
             ids = self.labels.remove_label(label)
             for node in ids:
                 self.store.host["flags"][node] |= FLAG_DELETED
-                self.store.mark_dirty(node)
+                self.store.mark_dirty(node, "flags")
                 self.num_marked_deleted += 1
             return ids
 
     def _delete_node_tombstoned(self, node: int) -> None:
         self.store.host["flags"][node] &= ~np.uint8(FLAG_DELETED)
-        self.store.mark_dirty(node)
+        self.store.mark_dirty(node, "flags")
         self._delete_node(node)
 
     # ------------------------------------------------------------------

@@ -99,6 +99,32 @@ def rewrite_id(links: np.ndarray, n_rows: int, old_id: int, new_id: int) -> Opti
     return int(lib.vs_rewrite_id(_i32p(flat), n_rows, flat.shape[1], old_id, new_id))
 
 
+def apply_reverse_edges(links: np.ndarray, nlinks: np.ndarray, pairs: np.ndarray):
+    """Append back-edges (neighbor, node) into the adjacency rows in C.
+
+    Returns (overflow_row_ids, dirty_row_ids) or None when the native lib is
+    unavailable. ``links`` [cap, m] int32 C-contiguous, ``nlinks`` [cap]
+    int32, ``pairs`` [P, 2] int32; rows are modified in place.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert links.dtype == np.int32 and links.flags.c_contiguous
+    assert nlinks.dtype == np.int32 and nlinks.flags.c_contiguous
+    pairs = np.ascontiguousarray(pairs, dtype=np.int32)
+    P = len(pairs)
+    overflow = np.empty(max(P, 1), dtype=np.int32)
+    dirty = np.empty(max(P, 1), dtype=np.int32)
+    dirty_count = ctypes.c_int64(0)
+    n_over = lib.vs_apply_reverse_edges(
+        _i32p(links), _i32p(nlinks), links.shape[1],
+        _i32p(pairs), P,
+        _i32p(overflow), len(overflow),
+        _i32p(dirty), len(dirty), ctypes.byref(dirty_count),
+    )
+    return overflow[: min(n_over, len(overflow))].copy(), dirty[: dirty_count.value].copy()
+
+
 class NativePool:
     """C++ worker pool behind the SubmitCB contract; Python callbacks run on
     native threads via ctypes trampolines (which re-acquire the GIL)."""

@@ -295,64 +295,81 @@ def diversity_prune(
     distance-to-q order; keep c unless some already-kept k has
     dist(c, k) < dist(c, q). ``alpha`` generalizes to the Vamana robust-prune
     rule (alpha * dist(c, k) <= dist(c, q) discards, DiskANN/SVS semantics;
-    alpha=1.0 == HNSW heuristic-2). Batched: precompute the candidate
-    pairwise distance matrix with one MXU call, then run the greedy scan as a
-    ``fori_loop`` carrying the kept mask for all rows at once.
+    alpha=1.0 == HNSW heuristic-2).
+
+    Implementation: the scan runs over the best 8m candidates (the greedy
+    keep set saturates long before that; the reference's candidate pool is
+    similarly bounded by efConstruction), carrying the <=m KEPT vectors in
+    registers and computing candidate-to-kept distances per step — B*C*m*D
+    work and O(B*m*D) memory instead of materializing the [B, C, C]
+    pairwise tensor (which is GBs at construction batch sizes).
     """
     B, C = cand_ids.shape
-    order = jnp.argsort(cand_dists, axis=1)
+    c_eff = min(C, max(8 * m, 64))
+    order = jnp.argsort(cand_dists, axis=1)[:, :c_eff]
     s_ids = jnp.take_along_axis(cand_ids, order, axis=1)
     s_d = jnp.take_along_axis(cand_dists, order, axis=1)
-    valid = s_ids >= 0
+    valid = (s_ids >= 0) & jnp.isfinite(s_d)
     safe = jnp.where(valid, s_ids, 0)
-    vecs = jnp.take(ctx.data, safe, axis=0)  # [B, C, D]
-    if kind == "sq8":
-        # Pairwise among candidates on reconstructed values (x = min + delta*q)
-        # — algebraically identical to the symmetric SQ8 formulas
-        # (preprocessors.h:205-220).
-        vmin = jnp.take(ctx.vmin, safe, axis=0)
-        delta = jnp.take(ctx.delta, safe, axis=0)
-        vecs = vmin[:, :, None] + delta[:, :, None] * vecs.astype(jnp.float32)
-        kind = "float"  # float path below
-    # Pairwise distances among candidates (same metric as the index).
     metric_v = VecSimMetric(metric)
-    if kind == "int":
-        vi = vecs.astype(jnp.int32)
-        ip = jnp.einsum("bcd,bed->bce", vi, vi, preferred_element_type=jnp.int32)
-        if metric_v == VecSimMetric.L2:
-            sq = jnp.take(ctx.sqnorm, safe, axis=0)
-            pair = sq[:, :, None] - 2.0 * ip.astype(jnp.float32) + sq[:, None, :]
-        elif metric_v == VecSimMetric.Cosine:
-            norms = jnp.take(ctx.norm, safe, axis=0)
-            pair = 1.0 - ip.astype(jnp.float32) / (norms[:, :, None] * norms[:, None, :])
+    D = ctx.data.shape[-1]
+
+    def cand_vec(c):
+        """f32 vector (+ scalar aux) of sorted candidate column c."""
+        rows = safe[:, c]
+        v = jnp.take(ctx.data, rows, axis=0)
+        if kind == "sq8":
+            vmin = jnp.take(ctx.vmin, rows, axis=0)
+            delta = jnp.take(ctx.delta, rows, axis=0)
+            v = vmin[:, None] + delta[:, None] * v.astype(jnp.float32)
         else:
-            pair = 1.0 - ip.astype(jnp.float32)
-    else:
-        vf = vecs.astype(jnp.float32)
-        ip = jnp.einsum(
-            "bcd,bed->bce", vf, vf, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+            v = v.astype(jnp.float32)
         if metric_v == VecSimMetric.L2:
-            sq = jnp.sum(vf * vf, axis=-1)
-            pair = sq[:, :, None] - 2.0 * ip + sq[:, None, :]
+            aux = jnp.sum(v * v, axis=-1)  # |v|^2
+        elif kind == "int" and metric_v == VecSimMetric.Cosine:
+            aux = jnp.take(ctx.norm, rows, axis=0)
         else:
-            pair = 1.0 - ip
+            aux = jnp.ones((B,), jnp.float32)
+        return v, aux
+
+    def pair_dists(vc, auxc, kept_v, kept_aux):
+        """Distances from candidate vectors [B, D] to kept vectors [B, m, D]."""
+        ip = jnp.einsum("bd,bmd->bm", vc, kept_v, preferred_element_type=jnp.float32)
+        if metric_v == VecSimMetric.L2:
+            return auxc[:, None] - 2.0 * ip + kept_aux
+        if kind == "int" and metric_v == VecSimMetric.Cosine:
+            return 1.0 - ip / (auxc[:, None] * kept_aux)
+        return 1.0 - ip
 
     def step(c, carry):
-        kept, count = carry
-        # Does candidate c conflict with any kept candidate?
-        viol = jnp.any((alpha * pair[:, c, :] < s_d[:, c, None]) & kept, axis=-1)
-        take = valid[:, c] & ~viol & (count < m) & jnp.isfinite(s_d[:, c])
-        kept = kept.at[:, c].set(take)
-        return kept, count + take.astype(jnp.int32)
+        kept_flags, kept_v, kept_aux, kept_mask, count = carry
+        vc, auxc = cand_vec(c)
+        pd = pair_dists(vc, auxc, kept_v, kept_aux)
+        viol = jnp.any((alpha * pd < s_d[:, c, None]) & kept_mask, axis=-1)
+        take = valid[:, c] & ~viol & (count < m)
+        # Record the keep decision at sorted position c.
+        colk = jax.lax.broadcasted_iota(jnp.int32, (B, c_eff), 1)
+        kept_flags = jnp.where((colk == c) & take[:, None], True, kept_flags)
+        # Write the kept vector into slot `count` (one-hot, Mosaic-friendly).
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
+        wmask = (slot == count[:, None]) & take[:, None]
+        kept_v = jnp.where(wmask[:, :, None], vc[:, None, :], kept_v)
+        kept_aux = jnp.where(wmask, auxc[:, None], kept_aux)
+        kept_mask = kept_mask | wmask
+        return kept_flags, kept_v, kept_aux, kept_mask, count + take.astype(jnp.int32)
 
-    kept = jnp.zeros((B, C), dtype=bool)
-    kept, _ = jax.lax.fori_loop(0, C, step, (kept, jnp.zeros((B,), jnp.int32)))
+    init = (
+        jnp.zeros((B, c_eff), dtype=bool),
+        jnp.zeros((B, m, D), jnp.float32),
+        jnp.ones((B, m), jnp.float32),
+        jnp.zeros((B, m), dtype=bool),
+        jnp.zeros((B,), jnp.int32),
+    )
+    kept_flags, _, _, _, _ = jax.lax.fori_loop(0, c_eff, step, init)
     # Compact kept ids to the front, pad with -1.
-    key = jnp.where(kept, s_d, jnp.inf)
+    key = jnp.where(kept_flags, s_d, jnp.inf)
     sel = jnp.argsort(key, axis=1)[:, :m]
-    out = jnp.take_along_axis(jnp.where(kept, s_ids, -1), sel, axis=1)
+    out = jnp.take_along_axis(jnp.where(kept_flags, s_ids, -1), sel, axis=1)
     return out
 
 

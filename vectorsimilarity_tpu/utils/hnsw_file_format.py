@@ -178,7 +178,7 @@ def load_hnsw_file(path: str):
         for lvl_i, ids in enumerate(per_level):
             index.upper.host["links"][urow, lvl_i, : len(ids)] = ids
             index.upper.host["nlinks"][urow, lvl_i] = len(ids)
-        index.upper.mark_dirty(urow)
+        index.upper.mark_dirty(urow, "links", "nlinks")
 
     # Label maps (tombstoned rows excluded, like mark_delete leaves them).
     for i in range(count):
