@@ -66,6 +66,7 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true", help="100k vectors, fewer repeats")
     ap.add_argument("--baseline-queries", type=int, default=8)
     ap.add_argument("--engine", choices=["auto", "pallas", "xla"], default="auto")
+    ap.add_argument("--dtype", choices=["fp32", "bf16", "int8"], default="fp32")
     args = ap.parse_args()
     if args.quick:
         args.n = min(args.n, 100_000)
@@ -88,11 +89,14 @@ def main() -> None:
 
     n, dim, k, B = args.n, args.dim, args.k, args.batch
     rng = np.random.default_rng(0)
-    print(f"# building {n}x{dim} fp32 cosine BF index on {jax.devices()[0]}", file=sys.stderr)
+    vtype = {"fp32": VecSimType.FLOAT32, "bf16": VecSimType.BFLOAT16,
+             "int8": VecSimType.INT8}[args.dtype]
+    print(f"# building {n}x{dim} {args.dtype} cosine BF index on {jax.devices()[0]}",
+          file=sys.stderr)
     idx = create_index(
         VecSimParams(
             algo=VecSimAlgo.BF,
-            bfParams=BFParams(type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.Cosine),
+            bfParams=BFParams(type=vtype, dim=dim, metric=VecSimMetric.Cosine),
         )
     )
     # Generate + normalize the dataset ON DEVICE (host->device transfer of a
@@ -101,18 +105,28 @@ def main() -> None:
 
     cap = _bucket_capacity(n, idx.store.block_size)
     key = jax.random.PRNGKey(0)
-    data = jax.random.normal(key, (cap, dim), dtype=jnp.float32)
-    data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
-    # Force materialization: some backends (axon relay) defer lazy
-    # expressions until a host read; without this every query would re-run
-    # the generator pipeline.
-    _ = float(jnp.sum(data[:: max(cap // 16, 1), 0]))
-    idx.store.adopt_device({"data": data}, count=n)
+    adopt = {}
+    if args.dtype == "int8":
+        data = jax.random.randint(key, (cap, dim), -127, 128, dtype=jnp.int8)
+        norms = jnp.sqrt(jnp.sum(data.astype(jnp.int32) ** 2, axis=1).astype(jnp.float32))
+        _ = float(jnp.sum(norms[:: max(cap // 16, 1)]))
+        adopt = {"data": data, "norm": norms}
+        queries = rng.integers(-127, 128, size=(B, dim)).astype(np.int8)
+    else:
+        data = jax.random.normal(key, (cap, dim), dtype=jnp.float32)
+        data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
+        if args.dtype == "bf16":
+            data = data.astype(jnp.bfloat16)
+        # Force materialization: some backends (axon relay) defer lazy
+        # expressions until a host read; without this every query would
+        # re-run the generator pipeline.
+        _ = float(jnp.sum(data[:: max(cap // 16, 1), 0].astype(jnp.float32)))
+        adopt = {"data": data}
+        queries = rng.standard_normal((B, dim)).astype(idx.np_dtype)
+    idx.store.adopt_device(adopt, count=n)
     idx.labels.label_to_id = {i: i for i in range(n)}
     idx.store.host["label"][:n] = np.arange(n, dtype=np.int64)
     assert idx.index_size == n
-
-    queries = rng.standard_normal((B, dim)).astype(np.float32)
     from vectorsimilarity_tpu.core.abstract_index import retry_device
 
     # Warmup: compile + first data sync (retry shields against transient
@@ -131,7 +145,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"bf_topk_qps_{n}x{dim}_fp32_cosine_k{k}",
+                "metric": f"bf_topk_qps_{n}x{dim}_{args.dtype}_cosine_k{k}",
                 "value": round(qps, 2),
                 "unit": "qps",
                 "vs_baseline": round(qps / cpu_qps, 2),
