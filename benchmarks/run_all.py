@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--skip-hnsw", action="store_true")
     ap.add_argument("--skip-bf", action="store_true")
     ap.add_argument("--build-batch", type=int, default=2048)
+    ap.add_argument("--data", choices=["embedding", "random"], default="embedding",
+                    help="'embedding' models real corpora (intrinsic dim ~48); "
+                         "'random' is the uniform pathological case")
+    ap.add_argument("--intrinsic-dim", type=int, default=48)
     args = ap.parse_args()
     if args.small:
         args.n, args.dim, args.queries = 20_000, 64, 32
@@ -60,9 +64,21 @@ def main():
     add_vecs = rng.standard_normal((1024, dim)).astype(np.float32)
     from vectorsimilarity_tpu.core.store import _bucket_capacity as _bcap
     import jax.numpy as _jnp
-    data = jax.random.normal(jax.random.PRNGKey(0), (_bcap(n, 1024), dim), dtype=_jnp.float32)
-    data = data / _jnp.linalg.norm(data, axis=1, keepdims=True)
+    from vectorsimilarity_tpu.utils.synthetic import embedding_like
+    cap0 = _bcap(n, 1024)
+    if args.data == "embedding":
+        data = embedding_like(jax.random.PRNGKey(0), cap0, dim,
+                              intrinsic_dim=args.intrinsic_dim)
+        # Queries from the same distribution (same projection).
+        qdev = embedding_like(jax.random.PRNGKey(0), B + cap0, dim,
+                              intrinsic_dim=args.intrinsic_dim)[cap0:]
+        queries = np.asarray(qdev)
+    else:
+        data = jax.random.normal(jax.random.PRNGKey(0), (cap0, dim), dtype=_jnp.float32)
+        data = data / _jnp.linalg.norm(data, axis=1, keepdims=True)
     _ = float(_jnp.sum(data[:: max(data.shape[0] // 16, 1), 0]))
+    emit(event="dataset", mode=args.data,
+         intrinsic_dim=args.intrinsic_dim if args.data == "embedding" else dim)
     if args.skip_bf:
         _run_hnsw(args, vs, jax, data, queries, add_vecs, emit)
         return
