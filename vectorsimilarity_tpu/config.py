@@ -16,6 +16,13 @@ import jax
 # real hardware (it compiles and matches on-device, but remote-compile
 # latency through the axon relay is unpredictable).
 use_pallas: str = "never"  # "auto" | "always" | "never"
+
+# Beam-search iteration budget: max_iters = factor * ef + base. This is the
+# in-kernel analog of the reference's timeout polling — it bounds worst-case
+# latency of a single jitted search; raising it trades tail latency for
+# completeness on adversarial graphs.
+beam_iter_factor: int = 8
+beam_iter_base: int = 64
 pallas_tile_n: int = 8192
 pallas_max_k: int = 128
 

@@ -213,7 +213,10 @@ def beam_search(
     """
     B = q.shape[0]
     M = links.shape[-1]
-    max_iters = max_iters or (8 * ef + 64)
+    if not max_iters:
+        from .. import config
+
+        max_iters = config.beam_iter_factor * ef + config.beam_iter_base
     nbrs_of = _neighbor_gather(links, row_of, level)
 
     beam_d = jnp.full((B, ef), jnp.inf, dtype=jnp.float32)
