@@ -218,10 +218,16 @@ def beam_search(
 
         max_iters = config.beam_iter_factor * ef + config.beam_iter_base
     nbrs_of = _neighbor_gather(links, row_of, level)
+    # Working width: the reference's candidate min-heap retains nodes that
+    # later fall out of the ef-sized result heap and can still be expanded
+    # (hnsw.h searchLayer); extra slots emulate that candidate memory (it
+    # matters most at small ef, where losing evicted candidates starves the
+    # expansion frontier).
+    W = ef + max(min(ef, 128), 16)
 
-    beam_d = jnp.full((B, ef), jnp.inf, dtype=jnp.float32)
-    beam_i = jnp.full((B, ef), -1, dtype=jnp.int32)
-    beam_e = jnp.zeros((B, ef), dtype=bool)
+    beam_d = jnp.full((B, W), jnp.inf, dtype=jnp.float32)
+    beam_i = jnp.full((B, W), -1, dtype=jnp.int32)
+    beam_e = jnp.zeros((B, W), dtype=bool)
     beam_d = beam_d.at[:, 0].set(entry_dists.astype(jnp.float32))
     beam_i = beam_i.at[:, 0].set(entry_ids.astype(jnp.int32))
     visited = jnp.zeros((B, visited_cap), dtype=jnp.uint8)
@@ -239,7 +245,7 @@ def beam_search(
         cand_key = jnp.where(beam_e | (beam_i < 0), jnp.inf, beam_d)
         pos = jnp.argmin(cand_key, axis=1)  # [B]
         cur_d = jnp.take_along_axis(cand_key, pos[:, None], axis=1)[:, 0]
-        worst = beam_d[:, -1]
+        worst = beam_d[:, ef - 1]  # worst of the RESULT window
         # Stop when: no unexpanded candidate, or beam full and the best
         # candidate cannot improve it (hnsw.h searchLayer termination).
         newly_done = (cur_d == jnp.inf) | (cur_d > worst)
@@ -263,7 +269,7 @@ def beam_search(
         all_d = jnp.concatenate([beam_d, nd], axis=1)
         all_i = jnp.concatenate([beam_i, new_i], axis=1)
         all_e = jnp.concatenate([beam_e, jnp.zeros((B, M), dtype=bool)], axis=1)
-        order = jnp.argsort(all_d, axis=1)[:, :ef]
+        order = jnp.argsort(all_d, axis=1)[:, :W]
         beam_d = jnp.take_along_axis(all_d, order, axis=1)
         beam_i = jnp.take_along_axis(all_i, order, axis=1)
         beam_e = jnp.take_along_axis(all_e, order, axis=1)
@@ -271,7 +277,7 @@ def beam_search(
 
     state = (beam_d, beam_i, beam_e, visited, done, jnp.int32(0))
     beam_d, beam_i, _, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return beam_d, beam_i
+    return beam_d[:, :ef], beam_i[:, :ef]
 
 
 # ---------------------------------------------------------------------------
