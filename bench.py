@@ -61,7 +61,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=128, help="queries per device call")
+    ap.add_argument("--batch", type=int, default=1024, help="queries per device call")
     ap.add_argument("--repeats", type=int, default=8)
     ap.add_argument("--quick", action="store_true", help="100k vectors, fewer repeats")
     ap.add_argument("--baseline-queries", type=int, default=8)
