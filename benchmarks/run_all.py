@@ -143,7 +143,7 @@ def _run_hnsw(args, vs, jax, data, queries, add_vecs, emit):
 
     n, dim, B = args.n, args.dim, args.queries
     # ---------------- HNSW (reference M=16 efC=200 config) ----------------
-    hn_n = min(n, 200_000)  # build cost scales with n; cap for wall-clock
+    hn_n = min(n, 300_000)  # build cost scales with n; cap for wall-clock
     hn = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.HNSWLIB, hnswParams=vs.HNSWParams(
         type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine,
         M=16, efConstruction=200, initialCapacity=hn_n)))
