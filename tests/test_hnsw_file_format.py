@@ -81,3 +81,25 @@ def test_export_own_build_and_reload(tmp_path):
     assert idx2.index_size == 300
     rep = idx2.topk_query(data[77], 1)
     assert rep.ids[0] == 77
+
+
+@needs_fixtures
+def test_search_reference_graph_recall():
+    """Our beam search on the reference's OWN graph must reach full recall
+    at small ef — validates searchLayer semantics against genuine hnswlib
+    topology, independent of our construction."""
+    from vectorsimilarity_tpu import VecSimQueryParams
+
+    idx = load_hnsw_file(SINGLE)
+    n = idx.store.count
+    data = idx.store.host["data"][:n]
+    labels = idx.store.host["label"][:n]
+    rng = np.random.default_rng(0)
+    q = data[rng.integers(0, n, 32)] + 0.01 * rng.standard_normal((32, 4)).astype(np.float32)
+    gt_rows = np.argsort(((q[:, None, :] - data[None]) ** 2).sum(-1), axis=1)[:, :10]
+    gt = labels[gt_rows]
+    params = VecSimQueryParams()
+    params.hnswRuntimeParams.efRuntime = 10
+    reps = idx.topk_query_batch(q, 10, params)
+    rec = np.mean([len(set(r.ids.tolist()) & set(g.tolist())) / 10 for r, g in zip(reps, gt)])
+    assert rec >= 0.99, rec
