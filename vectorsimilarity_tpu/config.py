@@ -17,6 +17,13 @@ import jax
 # latency through the axon relay is unpredictable).
 use_pallas: str = "never"  # "auto" | "always" | "never"
 
+# fp32 matmul precision on the MXU: "highest" = exact fp32 (bf16_6x, six
+# systolic passes); "high" = bf16_3x (~1e-5 relative error, 2x the
+# throughput). bf16/fp16 inputs always take the native single-pass path.
+# Read at trace time — set it before the first query of a process (jit
+# caches trace-time values).
+fp32_matmul_precision: str = "high"  # "highest" | "high"
+
 # Beam-search iteration budget: max_iters = factor * ef + base. This is the
 # in-kernel analog of the reference's timeout polling — it bounds worst-case
 # latency of a single jitted search; raising it trades tail latency for

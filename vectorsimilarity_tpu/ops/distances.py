@@ -28,12 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from ..types import VecSimMetric
-
-# Accumulate matmuls in fp32 at the highest available precision so results are
-# comparable with the reference's fp32 scalar kernels (tests assert parity
-# against a float64 ground truth with tight tolerances).
-_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _acc_dtype(dtype) -> jnp.dtype:
@@ -41,6 +37,22 @@ def _acc_dtype(dtype) -> jnp.dtype:
     if dtype == jnp.float64:
         return jnp.float64
     return jnp.float32
+
+
+def float_precision(dtype) -> jax.lax.Precision:
+    """MXU precision for a float matmul lane.
+
+    bf16/fp16 inputs take the native single-pass MXU path with fp32
+    accumulation (DEFAULT) — exact for bf16, and within the fp16 test
+    tolerance; HIGHEST would force a 6-pass fp32 emulation that made the
+    bf16 lane *slower* than fp32. fp32/f64 follow
+    ``config.fp32_matmul_precision``.
+    """
+    if dtype in (jnp.bfloat16, jnp.float16):
+        return jax.lax.Precision.DEFAULT
+    if config.fp32_matmul_precision == "highest":
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.HIGH
 
 
 def _dot(queries: jax.Array, data: jax.Array) -> jax.Array:
@@ -51,7 +63,7 @@ def _dot(queries: jax.Array, data: jax.Array) -> jax.Array:
         data,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc,
-        precision=_PRECISION,
+        precision=float_precision(queries.dtype),
     )
 
 
@@ -94,6 +106,33 @@ def scores_float(
 # ---------------------------------------------------------------------------
 
 
+_DIMS_BN = (((1,), (1,)), ((), ()))
+
+
+def _int_dot(queries: jax.Array, data: jax.Array) -> jax.Array:
+    """Exact integer dot [B, N] riding the MXU s8·s8→s32 path.
+
+    int8 inputs feed the systolic array directly (upcasting to int32 first
+    would force a slow 32-bit emulation). uint8 is shifted into s8 range and
+    corrected exactly in int32:
+
+        a·b = (a-128)·(b-128) + 128·Σa + 128·Σb - 128²·D
+
+    No overflow: each term is < 2^27 for D ≤ 8192.
+    """
+    if queries.dtype == jnp.int8 and data.dtype == jnp.int8:
+        return jax.lax.dot_general(
+            queries, data, _DIMS_BN, preferred_element_type=jnp.int32
+        )
+    dim = queries.shape[-1]
+    qs = (queries.astype(jnp.int16) - 128).astype(jnp.int8)
+    ds = (data.astype(jnp.int16) - 128).astype(jnp.int8)
+    raw = jax.lax.dot_general(qs, ds, _DIMS_BN, preferred_element_type=jnp.int32)
+    qsum = jnp.sum(queries.astype(jnp.int32), axis=-1, keepdims=True)  # [B, 1]
+    dsum = jnp.sum(data.astype(jnp.int32), axis=-1)  # [N]
+    return raw + 128 * qsum + 128 * dsum[None, :] - (128 * 128) * dim
+
+
 def scores_int(
     queries: jax.Array,
     data: jax.Array,
@@ -110,14 +149,7 @@ def scores_int(
     separate SoA array — same math, TPU-friendly layout).
     """
     metric = VecSimMetric(metric)
-    # uint8 values fit in int32 exactly; use int32 accumulation via MXU.
-    ip = jax.lax.dot_general(
-        queries.astype(jnp.int32),
-        data.astype(jnp.int32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-        precision=_PRECISION,
-    )
+    ip = _int_dot(queries, data)
     if metric == VecSimMetric.IP:
         return 1.0 - ip.astype(jnp.float32)
     if metric == VecSimMetric.Cosine:
@@ -160,9 +192,9 @@ def scores_sq8(
     qdot = jax.lax.dot_general(
         q,
         codes.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=_DIMS_BN,
         preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+        precision=float_precision(jnp.float32),
     )  # [B, N] = Σ(q_i · y_i) with x as codes
     ysum = jnp.sum(q, axis=-1, keepdims=True)  # [B, 1]
     ip = vmin[None, :] * ysum + delta[None, :] * qdot

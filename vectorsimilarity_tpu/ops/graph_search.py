@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import VecSimMetric
+from .distances import float_precision
 
 
 class StoreCtx(NamedTuple):
@@ -101,10 +102,10 @@ def gathered_dists(
     acc = jnp.float32 if q.dtype != jnp.float64 else jnp.float64
     ip = jnp.einsum(
         "bd,bmd->bm",
-        q.astype(acc),
-        vecs.astype(acc),
+        q,
+        vecs,
         preferred_element_type=acc,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=float_precision(q.dtype),
     )
     if metric in (VecSimMetric.IP, VecSimMetric.Cosine):
         return (1.0 - ip).astype(jnp.float32)
