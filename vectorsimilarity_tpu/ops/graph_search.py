@@ -134,8 +134,7 @@ def _neighbor_gather(links: jax.Array, row_of: jax.Array | None, level: jax.Arra
     return nbrs_of
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "kind"))
-def greedy_level(
+def greedy_level_impl(
     q: jax.Array,
     ctx: StoreCtx,
     links: jax.Array,  # [rows, M] or [rows, L, M] neighbor vector-ids, -1 padded
@@ -150,7 +149,10 @@ def greedy_level(
     q_norm: jax.Array | None = None,
     q_meta: tuple | None = None,
 ):
-    """Batched greedy hill-descent on one level until no query improves."""
+    """Batched greedy hill-descent on one level until no query improves.
+
+    Unjitted so fused construction/search programs can inline it; the jitted
+    wrapper below serves standalone callers."""
     B = q.shape[0]
     nbrs_of = _neighbor_gather(links, row_of, level)
     if active is None:
@@ -182,15 +184,18 @@ def greedy_level(
     return cur, cur_d
 
 
+greedy_level = functools.partial(jax.jit, static_argnames=("metric", "kind"))(
+    greedy_level_impl
+)
+greedy_level.__doc__ = "Jitted wrapper of greedy_level_impl."
+
+
 # ---------------------------------------------------------------------------
 # Beam search (searchLayer)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("visited_cap", "ef", "metric", "kind", "max_iters")
-)
-def beam_search(
+def beam_search_impl(
     q: jax.Array,  # [B, D]
     ctx: StoreCtx,
     links: jax.Array,  # [rows, M]
@@ -199,6 +204,7 @@ def beam_search(
     entry_dists: jax.Array,  # [B]
     visited_cap: int,
     level: jax.Array | None = None,  # traced level for 3-D links
+    active: jax.Array | None = None,  # [B] bool: rows to search (None: all)
     *,
     ef: int,
     metric: VecSimMetric,
@@ -211,6 +217,7 @@ def beam_search(
 
     Returns (beam_d [B, ef], beam_i [B, ef]) sorted ascending; empty slots
     have d=+inf, id=-1. Equivalent to ``searchLayer`` (hnsw.h:664-703).
+    Inactive rows (``active=False``) do no work and return empty beams.
     """
     B = q.shape[0]
     M = links.shape[-1]
@@ -226,14 +233,25 @@ def beam_search(
     # expansion frontier).
     W = ef + max(min(ef, 128), 16)
 
+    if active is None:
+        active_rows = jnp.ones((B,), dtype=bool)
+    else:
+        active_rows = active
+    entry_ids = jnp.where(active_rows, entry_ids.astype(jnp.int32), -1)
     beam_d = jnp.full((B, W), jnp.inf, dtype=jnp.float32)
     beam_i = jnp.full((B, W), -1, dtype=jnp.int32)
     beam_e = jnp.zeros((B, W), dtype=bool)
-    beam_d = beam_d.at[:, 0].set(entry_dists.astype(jnp.float32))
-    beam_i = beam_i.at[:, 0].set(entry_ids.astype(jnp.int32))
+    beam_d = beam_d.at[:, 0].set(
+        jnp.where(active_rows, entry_dists.astype(jnp.float32), jnp.inf)
+    )
+    beam_i = beam_i.at[:, 0].set(entry_ids)
     visited = jnp.zeros((B, visited_cap), dtype=jnp.uint8)
-    visited = visited.at[jnp.arange(B), entry_ids].set(1)
-    done = jnp.zeros((B,), dtype=bool)
+    # Inactive/absent entries scatter at visited_cap (truly out-of-bounds,
+    # hence dropped) — a -1 index would wrap to the last column.
+    visited = visited.at[
+        jnp.arange(B), jnp.where(entry_ids >= 0, entry_ids, visited_cap)
+    ].set(1, mode="drop")
+    done = ~active_rows
     rows_b = jnp.arange(B)
 
     def cond(state):
@@ -281,13 +299,18 @@ def beam_search(
     return beam_d[:, :ef], beam_i[:, :ef]
 
 
+beam_search = functools.partial(
+    jax.jit, static_argnames=("visited_cap", "ef", "metric", "kind", "max_iters")
+)(beam_search_impl)
+beam_search.__doc__ = "Jitted wrapper of beam_search_impl."
+
+
 # ---------------------------------------------------------------------------
 # Diversity pruning (getNeighborsByHeuristic2)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("m", "metric", "kind", "alpha"))
-def diversity_prune(
+def diversity_prune_impl(
     q: jax.Array,  # [B, D] target vectors (new node / repaired node)
     cand_ids: jax.Array,  # [B, C] candidate vector ids, -1 padded
     cand_dists: jax.Array,  # [B, C] distances to q, +inf for padded
@@ -381,6 +404,52 @@ def diversity_prune(
     sel = jnp.argsort(key, axis=1)[:, :m]
     out = jnp.take_along_axis(jnp.where(kept_flags, s_ids, -1), sel, axis=1)
     return out
+
+
+diversity_prune = functools.partial(
+    jax.jit, static_argnames=("m", "metric", "kind", "alpha")
+)(diversity_prune_impl)
+diversity_prune.__doc__ = "Jitted wrapper of diversity_prune_impl."
+
+
+def diversity_prune_chunked(
+    q, cand_ids, cand_dists, ctx, *, m, metric, kind, alpha=1.0, q_norm=None,
+    chunk=2048,
+):
+    """diversity_prune over many rows in fixed-size chunks.
+
+    The prune carries up to ``m`` kept vectors per row ([rows, m, D] f32);
+    at reverse-edge scale (rows = batch*M) that buffer would be GBs, so the
+    row axis is processed ``chunk`` rows at a time with ``lax.map``.
+    Unjitted — meant to be inlined into fused construction programs.
+    """
+    B = q.shape[0]
+    if B <= chunk:
+        return diversity_prune_impl(
+            q, cand_ids, cand_dists, ctx, m=m, metric=metric, kind=kind,
+            alpha=alpha, q_norm=q_norm,
+        )
+    n_chunks = -(-B // chunk)
+    pad = n_chunks * chunk - B
+    qp = jnp.pad(q, ((0, pad), (0, 0)))
+    cip = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
+    cdp = jnp.pad(cand_dists, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    qn = None if q_norm is None else jnp.pad(q_norm, (0, pad), constant_values=1.0)
+
+    def one(args):
+        if qn is None:
+            qc, ci, cd = args
+            qnc = None
+        else:
+            qc, ci, cd, qnc = args
+        return diversity_prune_impl(
+            qc, ci, cd, ctx, m=m, metric=metric, kind=kind, alpha=alpha, q_norm=qnc
+        )
+
+    sh = lambda x: x.reshape(n_chunks, chunk, *x.shape[1:])
+    args = (sh(qp), sh(cip), sh(cdp)) + (() if qn is None else (sh(qn),))
+    out = jax.lax.map(one, args)
+    return out.reshape(n_chunks * chunk, m)[:B]
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "kind"))
