@@ -7,8 +7,11 @@ PY ?= python
 all: native
 
 # The full pytest suite on the virtual CPU mesh (unit + flow analogs).
+# ulimit -s: XLA:CPU compilation of the fused construction programs
+# (ops/graph_build.py build_scan) recurses deeply; the default 8 MB stack
+# can SIGSEGV the compiler mid-suite.
 test:
-	$(PY) -m pytest tests/ -x -q
+	bash -c 'ulimit -s 65536 2>/dev/null; $(PY) -m pytest tests/ -x -q'
 
 unit_test: test
 flow_test: test

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--small", action="store_true", help="20k x 64 sanity config")
     ap.add_argument("--skip-hnsw", action="store_true")
     ap.add_argument("--skip-bf", action="store_true")
+    ap.add_argument("--updated", action="store_true",
+                    help="BM_VecSimUpdatedIndex: overwrite every label, "
+                         "measure memory + TopK before/after")
+    ap.add_argument("--updated-n", type=int, default=500_000)
     ap.add_argument("--build-batch", type=int, default=2048)
     ap.add_argument("--data", choices=["embedding", "random"], default="embedding",
                     help="'embedding' models real corpora (intrinsic dim ~48); "
@@ -49,6 +53,10 @@ def main():
     args = ap.parse_args()
     if args.small:
         args.n, args.dim, args.queries = 20_000, 64, 32
+        args.updated_n = min(args.updated_n, 20_000)
+    if args.updated:
+        _run_updated_index(args, emit)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -205,6 +213,93 @@ def _run_hnsw(args, vs, jax, data, queries, add_vecs, emit):
         hn.delete_vector(hn_n + i)
     dt = (time.perf_counter() - t0) / 256
     emit(event="hnsw_delete_label", ms_per_delete=round(dt * 1e3, 2))
+
+
+def _run_updated_index(args, emit):
+    """BM_VecSimUpdatedIndex (reference docs/benchmarks.md:120-143): flat +
+    HNSW indexes of N fp32 vectors; every label overwritten with a new
+    vector; memory and TopK (time + recall) measured before and after."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vectorsimilarity_tpu as vs
+    from vectorsimilarity_tpu.indexes.hnsw import HNSWIndex
+    from vectorsimilarity_tpu.types import HNSWParams
+
+    n, dim, B = args.updated_n, args.dim, min(args.queries, 32)
+    emit(event="updated_config", n=n, dim=dim, device=str(jax.devices()[0]))
+    rng = np.random.default_rng(4)
+    queries = rng.standard_normal((B, dim)).astype(np.float32)
+
+    key = jax.random.PRNGKey(7)
+    d1 = jax.random.normal(key, (n, dim), dtype=jnp.float32)
+    d2 = jax.random.normal(jax.random.PRNGKey(8), (n, dim), dtype=jnp.float32)
+    host1, host2 = np.asarray(d1), np.asarray(d2)
+
+    # ---- flat ----
+    bf = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
+        type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine)))
+    bf.add_vector_batch(host1, list(range(n)))
+    emit(event="updated_bf_memory", phase="before", bytes=bf.stats_info().memory)
+    for k in (10, 100, 500):
+        bf.topk_query_batch(queries, k)
+        t0 = time.perf_counter()
+        bf.topk_query_batch(queries, k)
+        emit(event="updated_bf_topk", phase="before", k=k,
+             ms=round((time.perf_counter() - t0) / B * 1e3, 3))
+    bf.add_vector_batch(host2, list(range(n)))  # overwrite every label
+    assert bf.index_size == n
+    emit(event="updated_bf_memory", phase="after", bytes=bf.stats_info().memory)
+    for k in (10, 100, 500):
+        t0 = time.perf_counter()
+        bf.topk_query_batch(queries, k)
+        emit(event="updated_bf_topk", phase="after", k=k,
+             ms=round((time.perf_counter() - t0) / B * 1e3, 3))
+
+    # ---- HNSW ----
+    def gt_for(data_dev):
+        g = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
+            type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine)))
+        g.add_vector_batch(np.asarray(data_dev), list(range(n)))
+        return [set(r.ids[:100].tolist()) for r in g.topk_query_batch(queries, 100)]
+
+    hn = HNSWIndex(HNSWParams(
+        type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine,
+        M=16, efConstruction=200, initialCapacity=n))
+    batch = args.build_batch
+    t0 = time.perf_counter()
+    for s in range(0, n, batch):
+        hn.add_vector_batch(host1[s:s + batch], list(range(s, min(s + batch, n))))
+    emit(event="updated_hnsw_build", phase="before",
+         seconds=round(time.perf_counter() - t0, 1))
+
+    def sweep(phase, gt):
+        for ef, k in ((10, 10), (200, 10), (100, 100), (200, 100), (500, 500)):
+            p = vs.VecSimQueryParams()
+            p.hnswRuntimeParams.efRuntime = ef
+            hn.topk_query_batch(queries, k, p)
+            t0 = time.perf_counter()
+            reps = hn.topk_query_batch(queries, k, p)
+            dt = (time.perf_counter() - t0) / B
+            kk = min(k, 100)
+            rec = np.mean([
+                len(set(r.ids[:kk].tolist()) & g) / kk for r, g in zip(reps, gt)])
+            emit(event="updated_hnsw_topk", phase=phase, ef=ef, k=k,
+                 ms=round(dt * 1e3, 3), recall=round(float(rec), 4))
+
+    emit(event="updated_hnsw_memory", phase="before", bytes=hn.stats_info().memory)
+    sweep("before", gt_for(d1))
+    t0 = time.perf_counter()
+    for s in range(0, n, batch):
+        hn.add_vector_batch(host2[s:s + batch], list(range(s, min(s + batch, n))))
+    emit(event="updated_hnsw_overwrite", seconds=round(time.perf_counter() - t0, 1),
+         vectors_per_sec=round(n / (time.perf_counter() - t0), 1))
+    assert hn.index_size == n
+    emit(event="updated_hnsw_memory", phase="after", bytes=hn.stats_info().memory)
+    sweep("after", gt_for(d2))
 
 
 if __name__ == "__main__":

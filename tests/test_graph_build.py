@@ -14,7 +14,7 @@ import pytest
 from vectorsimilarity_tpu.ops.graph_build import (
     GraphState,
     _segment_ranks,
-    apply_reverse_edges_device,
+    apply_reverse_edges_multi,
     build_scan,
     connect_batch,
 )
@@ -35,6 +35,31 @@ def test_segment_ranks():
     key2 = jnp.asarray([1, 1, 8, 8, 8], dtype=jnp.int32)  # 8 = R sentinel
     _, _, cnt2, _ = jax.jit(_segment_ranks)(key2)
     assert int(cnt2[0]) == 2 and int(cnt2[2]) == 3
+
+
+def test_reverse_edges_residual_passes():
+    """More than a_cap new edges into one row: pass 2 admits the surplus
+    (reference processes every edge; nothing silently dropped)."""
+    rng = np.random.default_rng(3)
+    N, D, mcap = 64, 8, 8
+    ctx = _mk_ctx(rng.standard_normal((N, D)).astype(np.float32))
+    links = jnp.full((N, mcap), -1, dtype=jnp.int32)
+    nlinks = jnp.zeros((N,), dtype=jnp.int32)
+    P = 12  # all target row 5, a_cap=4 -> 3 passes worth of pairs
+    rows = jnp.full((P,), 5, dtype=jnp.int32)
+    srcs = jnp.arange(20, 20 + P, dtype=jnp.int32)
+    l1, n1, d1 = jax.jit(lambda l, n: apply_reverse_edges_multi(
+        l, n, rows, rows, srcs, ctx, m_cap=mcap, a_cap=4,
+        metric=VecSimMetric.L2, kind="float", passes=3))(links, nlinks)
+    assert int(d1) == 0
+    out = np.asarray(l1[5])
+    assert 0 < int(n1[5]) <= mcap
+    assert set(out[out >= 0].tolist()) <= set(range(20, 32))
+    # one pass with the same load drops the surplus and says so
+    _, _, d2 = jax.jit(lambda l, n: apply_reverse_edges_multi(
+        l, n, rows, rows, srcs, ctx, m_cap=mcap, a_cap=4,
+        metric=VecSimMetric.L2, kind="float", passes=1))(links, nlinks)
+    assert int(d2) == P - 4
 
 
 def _mk_ctx(data):
@@ -58,7 +83,7 @@ def test_reverse_edges_append_and_overflow():
     rows = jnp.asarray([3, 3, 7, 7, 7, 7, 7], dtype=jnp.int32)
     srcs = jnp.asarray([20, 21, 22, 23, 24, 25, 26], dtype=jnp.int32)
     dsts = rows
-    fn = jax.jit(lambda l, n: apply_reverse_edges_device(
+    fn = jax.jit(lambda l, n: apply_reverse_edges_multi(
         l, n, rows, dsts, srcs, ctx, m_cap=mcap, a_cap=8,
         metric=VecSimMetric.L2, kind="float"))
     links2, nlinks2, dropped = fn(links, nlinks)

@@ -221,3 +221,80 @@ def test_multi_tiered():
     assert sorted(rep.ids.tolist()) == [1, 2]
     assert idx.delete_vector(1) == 2
     assert idx.index_label_count == 1
+
+
+def test_coalesced_drain_one_job_migrates_queue():
+    """One executed insert job migrates every queued vector in a single
+    backend batch (the queue is the natural batch); later jobs no-op."""
+    import threading
+
+    pool = JobQueueThreadPool(1)
+    try:
+        idx = make_tiered(pool=pool)
+        gate = threading.Event()
+        pool.submit_cb(None, None, [None], [lambda j: gate.wait(30)])  # stall
+        data = np.random.default_rng(5).standard_normal((48, 8)).astype(np.float32)
+        for i, v in enumerate(data):
+            idx.add_vector(v, i)
+        assert idx.frontend.index_size == 48
+        gate.set()
+        assert pool.wait_for_quiescence(60)
+        assert idx.backend.index_size == 48
+        assert idx.frontend.index_size == 0
+        rep = idx.topk_query(data[17], 1)
+        assert rep.ids[0] == 17
+    finally:
+        pool.shutdown()
+
+
+def test_bulk_gc_many_tombstones():
+    """run_gc removes ALL tombstones in one batched pass: repairs, label
+    remap, compaction — and the survivor graph still answers correctly."""
+    from vectorsimilarity_tpu.utils.serializer import check_integrity
+
+    idx = make_tiered(swap_threshold=100000)
+    n = 300
+    data = np.random.default_rng(6).standard_normal((n, 8)).astype(np.float32)
+    idx.backend.add_vector_batch(data, list(range(n)))
+    for i in range(100):
+        idx.delete_vector(i)
+    assert idx.backend.num_marked_deleted == 100
+    idx.run_gc()
+    be = idx.backend
+    assert be.num_marked_deleted == 0
+    assert be.index_size == 200
+    assert check_integrity(be)
+    be._ensure_host_links()
+    cnt = be.store.count
+    l0 = be.store.host["links0"][:cnt]
+    assert l0.max(initial=-1) < cnt
+    rep = idx.topk_query(data[150], 1)
+    assert rep.ids[0] == 150
+    rep = idx.topk_query(data[3], 10)
+    assert all(r >= 100 for r in rep.ids.tolist())
+    # survivor recall vs brute force
+    live = data[100:]
+    q = live[:16]
+    gt = np.argsort(((q[:, None] - live[None]) ** 2).sum(-1), axis=1)[:, :5] + 100
+    hits = 0
+    for b in range(16):
+        rep = idx.topk_query(q[b], 5)
+        hits += len(set(rep.ids.tolist()) & set(gt[b].tolist()))
+    assert hits / 80 >= 0.9
+
+
+def test_bulk_gc_multi_backend():
+    """Bulk GC on a multi-value backend keeps per-label id sets coherent."""
+    from vectorsimilarity_tpu.utils.serializer import check_integrity
+
+    idx = make_tiered(multi=True, swap_threshold=100000)
+    data = np.random.default_rng(7).standard_normal((120, 8)).astype(np.float32)
+    idx.backend.add_vector_batch(data, [i // 2 for i in range(120)])  # 2 ids/label
+    for lab in range(20):
+        assert idx.delete_vector(lab) == 2
+    idx.run_gc()
+    be = idx.backend
+    assert be.index_size == 80 and be.index_label_count == 40
+    assert check_integrity(be)
+    rep = idx.topk_query(data[80], 1)
+    assert rep.ids[0] == 40

@@ -24,6 +24,15 @@ use_pallas: str = "never"  # "auto" | "always" | "never"
 # caches trace-time values).
 fp32_matmul_precision: str = "high"  # "highest" | "high"
 
+# Device-resident HNSW construction (ops/graph_build.py): connect a whole
+# insert batch in ONE jitted dispatch (upper descent, level-0 beam, pruning,
+# reverse edges) instead of ~15 host round-trips per batch. False falls back
+# to the host-orchestrated path (kept as the semantics reference).
+graph_build_device: bool = True
+build_batch: int = 1024  # max rows per connect_batch dispatch (pow2)
+build_scan_batches: int = 64  # batches fused per build_scan dispatch (bulk)
+build_reverse_cap: int = 16  # new back-edges joining one row's re-prune
+
 # Beam-search iteration budget: max_iters = factor * ef + base. This is the
 # in-kernel analog of the reference's timeout polling — it bounds worst-case
 # latency of a single jitted search; raising it trades tail latency for

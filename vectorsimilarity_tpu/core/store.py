@@ -87,6 +87,9 @@ class BlockStore:
         self._device: dict[str, jax.Array] = {}
         # Per-field dirty rows: a link update must not re-upload the (much
         # larger) vector column of the same row.
+        # Fields whose DEVICE copy is authoritative (adopt_device /
+        # device-side construction); host mirrors are pulled on demand.
+        self._host_stale: set[str] = set()
         self._dirty_rows: dict[str, set[int]] = {n: set() for n in self.fields}
         self._dirty_from: int = 0  # appended/overwritten suffix start
         self._device_capacity = -1
@@ -95,6 +98,10 @@ class BlockStore:
     # -- capacity management -------------------------------------------------
 
     def _resize(self, new_cap: int) -> None:
+        if self._host_stale and self._device:
+            # Growth re-seeds host arrays and re-uploads them wholesale; any
+            # device-authoritative content must reach the host first.
+            self.pull_host()
         for name, spec in self.fields.items():
             arr = np.full((new_cap, *spec.shape), spec.fill, dtype=spec.dtype)
             if name in self.host and self.count:
@@ -245,6 +252,28 @@ class BlockStore:
         for dset in self._dirty_rows.values():
             dset.clear()
         self._dirty_from = count
+        self._host_stale = set(arrays)
+
+    def pull_host(self, *fields: str) -> None:
+        """Download device-authoritative fields into their host mirrors.
+
+        With no names given, pulls every field marked host-stale (by
+        ``adopt_device`` or ``mark_host_stale``). Serialization and host-path
+        mutations call this before trusting host arrays.
+        """
+        names = [f for f in (fields or tuple(self._host_stale)) if f in self._host_stale]
+        if not names or not self.count:
+            self._host_stale -= set(names)
+            return
+        for name in names:
+            rows = np.asarray(self._device[name][: self.count])
+            self.host[name][: self.count] = rows.astype(self.fields[name].dtype, copy=False)
+        self._host_stale -= set(names)
+
+    def mark_host_stale(self, *fields: str) -> None:
+        """Declare device copies authoritative for ``fields`` (device-side
+        construction wrote them); host reads must ``pull_host`` first."""
+        self._host_stale.update(fields)
 
     # -- accounting ----------------------------------------------------------
 

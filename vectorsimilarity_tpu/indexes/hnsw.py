@@ -31,9 +31,12 @@ import math
 from typing import Any, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from .. import config
 from ..core.abstract_index import DeviceVectorIndex, pow2_bucket, retry_device
+from ..ops import graph_build
 from ..core.interface import TimeoutBudget
 from ..core.results import QueryReply, make_reply
 from ..core.store import BlockStore, FieldSpec
@@ -62,6 +65,32 @@ from ..types import (
 FLAG_DELETED = 1
 
 _INITIAL_LMAX = 4
+
+
+@jax.jit
+def _compact_stores(dev, udev, idx, uidx, perm, uperm):
+    """Gather live rows + remap link ids for both stores in ONE dispatch.
+
+    ``idx``/``uidx`` are full-capacity gather indices (live rows first),
+    ``perm``/``uperm`` map old vector ids / upper rows to new ones (-1 gone).
+    Bulk tombstone removal uses this instead of per-node swap-with-last row
+    moves (and instead of re-uploading compacted host columns, which would
+    push the whole store through the host link)."""
+    out = {name: jnp.take(arr, idx, axis=0) for name, arr in dev.items()}
+    out["links0"] = jnp.where(
+        out["links0"] >= 0, jnp.take(perm, jnp.maximum(out["links0"], 0)), -1
+    )
+    out["upper_row"] = jnp.where(
+        out["upper_row"] >= 0, jnp.take(uperm, jnp.maximum(out["upper_row"], 0)), -1
+    )
+    uout = {name: jnp.take(arr, uidx, axis=0) for name, arr in udev.items()}
+    uout["links"] = jnp.where(
+        uout["links"] >= 0, jnp.take(perm, jnp.maximum(uout["links"], 0)), -1
+    )
+    uout["vec"] = jnp.where(
+        uout["vec"] >= 0, jnp.take(perm, jnp.maximum(uout["vec"], 0)), -1
+    )
+    return out, uout
 
 
 class HNSWIndex(DeviceVectorIndex):
@@ -95,6 +124,10 @@ class HNSWIndex(DeviceVectorIndex):
         self.max_level = -1
         self.num_marked_deleted = 0
         self._rng = np.random.default_rng(seed)
+        # Device-resident construction leaves the DEVICE link arrays
+        # authoritative; host mirrors are pulled on first host-side access.
+        self._host_links_stale = False
+        self._build_dropped: list = []
 
     # ------------------------------------------------------------------
     # Upper-level side store
@@ -111,6 +144,7 @@ class HNSWIndex(DeviceVectorIndex):
         )
 
     def _grow_lmax(self, need: int) -> None:
+        self._ensure_host_links()  # rebuild below re-uploads from host
         new_lmax = self.lmax
         while new_lmax < need:
             new_lmax *= 2
@@ -147,6 +181,7 @@ class HNSWIndex(DeviceVectorIndex):
     # ------------------------------------------------------------------
 
     def get_links(self, node: int, lvl: int) -> list[int]:
+        self._ensure_host_links()
         if lvl == 0:
             n = int(self.store.host["nlinks0"][node])
             return self.store.host["links0"][node, :n].tolist()
@@ -155,6 +190,7 @@ class HNSWIndex(DeviceVectorIndex):
         return self.upper.host["links"][r, lvl - 1, :n].tolist()
 
     def set_links(self, node: int, lvl: int, ids: list[int]) -> None:
+        self._ensure_host_links()
         if lvl == 0:
             assert len(ids) <= self.M0
             row = self.store.host["links0"][node]
@@ -185,6 +221,46 @@ class HNSWIndex(DeviceVectorIndex):
         return dev, udev, ctx
 
     # ------------------------------------------------------------------
+    # Device-authoritative link state (ops/graph_build.py)
+    # ------------------------------------------------------------------
+
+    def _graph_state(self, dev, udev) -> graph_build.GraphState:
+        return graph_build.GraphState(
+            links0=dev["links0"],
+            nlinks0=dev["nlinks0"],
+            ulinks=udev["links"],
+            unlinks=udev["nlinks"],
+            upper_row=dev["upper_row"],
+            entry=jnp.int32(self.entry_id),
+            max_level=jnp.int32(self.max_level),
+        )
+
+    def _adopt_graph_state(self, state: graph_build.GraphState) -> None:
+        """Install device-built link arrays as the compute copy; host link
+        mirrors become stale and are pulled lazily (``_ensure_host_links``).
+        ``upper_row`` stays host-authoritative (the device write mirrors the
+        values the host already assigned)."""
+        self.store._device["links0"] = state.links0
+        self.store._device["nlinks0"] = state.nlinks0
+        self.store._device["upper_row"] = state.upper_row
+        self.upper._device["links"] = state.ulinks
+        self.upper._device["nlinks"] = state.unlinks
+        self.store.mark_host_stale("links0", "nlinks0")
+        self.upper.mark_host_stale("links", "nlinks")
+        self._host_links_stale = True
+
+    def _ensure_host_links(self) -> None:
+        """Pull device-built links into the host mirrors (one bulk read).
+
+        Host-path mutations (delete/repair/serialize) require fresh host
+        links; queries and device construction never need this."""
+        if not self._host_links_stale:
+            return
+        self._host_links_stale = False
+        self.store.pull_host("links0", "nlinks0")
+        self.upper.pull_host("links", "nlinks")
+
+    # ------------------------------------------------------------------
     # Write path
     # ------------------------------------------------------------------
 
@@ -208,16 +284,41 @@ class HNSWIndex(DeviceVectorIndex):
             overwrite: list[int] = []
             if not self.multi:
                 overwrite = [l for l in labels if l in self.labels]
-                for l in overwrite:
-                    self.delete_vector(l)
+                if len(overwrite) > 8:
+                    # Batched overwrite (updated-index workload): tombstone
+                    # the old copies and remove them in ONE bulk
+                    # repair+compaction pass instead of per-label
+                    # referrer-scan deletes.
+                    old_ids: list[int] = []
+                    for l in overwrite:
+                        old_ids.extend(self.mark_delete(l))
+                    self._delete_tombstoned_bulk_locked(old_ids)
+                    self.num_marked_deleted -= len(old_ids)
+                    self.store.maybe_shrink()
+                else:
+                    for l in overwrite:
+                        self.delete_vector(l)
             rows = self.preprocess_storage(vecs)
             n = len(labels)
             rows["label"] = np.asarray(labels, dtype=np.int64)
             levels = np.asarray([self._sample_level() for _ in range(n)], dtype=np.int32)
             rows["level"] = levels
+            # Appends only write the provided fields; row slots recycled by
+            # deletes/compaction hold stale flags/upper_row otherwise.
+            rows["flags"] = np.zeros(n, dtype=np.uint8)
+            rows["upper_row"] = np.full(n, -1, dtype=np.int32)
             if levels.max(initial=0) + 1 > self.lmax:
                 self.log("debug", f"growing upper-level capacity to {int(levels.max()) + 1}")
                 self._grow_lmax(int(levels.max()) + 1)
+            if self._host_links_stale:
+                # Capacity growth re-uploads whole stores from host mirrors;
+                # pull device-built links first so growth can't clobber them.
+                n_up = int((levels >= 1).sum())
+                if (
+                    self.store.count + n > self.store.capacity
+                    or self.upper.count + n_up > self.upper.capacity
+                ):
+                    self._ensure_host_links()
             ids = self.store.append(rows)
             for i, node in enumerate(ids):
                 node = int(node)
@@ -229,15 +330,224 @@ class HNSWIndex(DeviceVectorIndex):
                     self.labels.add(labels[i], node)
                 if levels[i] >= 1:
                     self._alloc_upper_row(node)
-            # _connect_batch is idempotent for a fixed id set (links are
-            # overwritten, reverse-edge application dedups), so transient
-            # backend failures can simply re-run it.
-            retry_device(lambda: self._connect_batch([int(x) for x in ids], levels))
+            if config.graph_build_device:
+                self._connect_batch_device(np.asarray(ids, dtype=np.int32), levels)
+            else:
+                # _connect_batch is idempotent for a fixed id set (links are
+                # overwritten, reverse-edge application dedups), so transient
+                # backend failures can simply re-run it.
+                retry_device(lambda: self._connect_batch([int(x) for x in ids], levels))
             if self.multi:
                 return n
             return n if not overwrite else n - len(overwrite)
 
-    # -- construction ----------------------------------------------------
+    # -- construction (device-resident path, ops/graph_build.py) ---------
+
+    def _connect_batch_device(self, ids: np.ndarray, levels: np.ndarray) -> None:
+        """Connect a batch fully on device: one dispatch per pow2 chunk.
+
+        Replaces the ~15 host round-trips per batch of the host-orchestrated
+        path with a single fused program (upper descent scan, level-0 beam,
+        heuristic pruning, reverse edges — ``graph_build.connect_batch``).
+        """
+        n = len(ids)
+        if n == 0:
+            return
+        ids = np.asarray(ids, dtype=np.int32)
+        levels = np.asarray(levels, dtype=np.int32)
+        urows = self.store.host["upper_row"][ids].astype(np.int32)
+        dev, udev, ctx = self._device_ctx()
+        state = self._graph_state(dev, udev)
+        kw = dict(
+            efc=self.ef_construction,
+            M=self.M,
+            M0=self.M0,
+            metric=self.metric,
+            kind=self.store_kind,
+            a_cap=config.build_reverse_cap,
+        )
+        off = 0
+        while off < n:
+            c = 1
+            while c * 2 <= n - off and c * 2 <= config.build_batch:
+                c *= 2
+            ch = slice(off, off + c)
+            state, d = retry_device(
+                lambda s=state, ch=ch: graph_build.connect_batch(
+                    s, ctx, jnp.asarray(ids[ch]), jnp.asarray(levels[ch]),
+                    jnp.asarray(urows[ch]), **kw,
+                )
+            )
+            self._build_dropped.append(d)
+            # Host entry bookkeeping mirrors the device rule (first
+            # occurrence of a strictly higher level wins) — no device read.
+            top_row = int(np.argmax(levels[ch]))
+            top = int(levels[ch][top_row])
+            if self.entry_id < 0 or top > self.max_level:
+                self.entry_id = int(ids[ch][top_row])
+                self.max_level = top
+            off += c
+        self._adopt_graph_state(state)
+
+    def build_dropped(self) -> int:
+        """Reverse-edge pairs dropped by the device builder's per-row cap
+        (``apply_reverse_edges_device``); 0 in healthy builds."""
+        # Entries are device scalars (connect_batch) or [T] arrays
+        # (build_scan segments); realized only when asked.
+        total = sum(int(np.asarray(d).sum()) for d in self._build_dropped)
+        self._build_dropped = [total]
+        return int(total)
+
+    def bulk_build_device(
+        self,
+        data,
+        n: Optional[int] = None,
+        labels=None,
+        *,
+        batch: Optional[int] = None,
+        scan_batches: Optional[int] = None,
+    ) -> None:
+        """Build the whole index from a device-resident dataset.
+
+        TPU-native bulk ingest: ``data`` is a jax array [N, dim] already on
+        device (GB-scale host uploads through a relay would dominate the
+        build — generate or shard the data device-side instead). Vectors are
+        normalized / norm-annotated on device, adopted into the store
+        (host vector mirrors stay unfilled, ``BlockStore.adopt_device``
+        semantics), and the graph is constructed by
+        ``ops.graph_build.build_scan`` — ``scan_batches`` insert batches per
+        device dispatch, zero host round-trips in between. Host link mirrors
+        are pulled lazily on first host-side access.
+
+        The index must be empty. ``labels`` defaults to 0..N-1 (must be
+        unique for non-multi indexes).
+        """
+        from ..core.store import _bucket_capacity
+
+        with self._lock:
+            if self.store.count or self.upper.count:
+                raise ValueError("bulk_build_device requires an empty index")
+            if n is None:
+                n = int(data.shape[0])
+            batch = int(batch or config.build_batch)
+            scan_batches = int(scan_batches or config.build_scan_batches)
+            self._build_dropped = []
+            cap = _bucket_capacity(n, self.store.block_size)
+
+            # --- level sampling + upper-row layout (host RNG, tiny) ---
+            u = self._rng.random(n)
+            levels = (-np.log(np.maximum(u, 1e-12)) * self.mult).astype(np.int32)
+            if int(levels.max(initial=0)) + 1 > self.lmax:
+                self._grow_lmax(int(levels.max()) + 1)
+            upper_nodes = np.nonzero(levels >= 1)[0].astype(np.int32)
+            n_up = len(upper_nodes)
+            urows = np.full(n, -1, dtype=np.int32)
+            urows[upper_nodes] = np.arange(n_up, dtype=np.int32)
+
+            # --- device-side preprocessing (CosinePreprocessor semantics) ---
+            def padded(x, fill):
+                if x.shape[0] == cap:
+                    return x
+                out = jnp.full((cap, *x.shape[1:]), fill, dtype=x.dtype)
+                return out.at[:n].set(x[:n])
+
+            adopt: dict = {}
+            if self.store_kind == "int":
+                dd = data
+                di = dd.astype(jnp.int32)
+                if self.metric == VecSimMetric.Cosine:
+                    adopt["norm"] = padded(
+                        jnp.sqrt(jnp.sum(di * di, axis=1).astype(jnp.float32)), 1.0
+                    )
+                if "sqnorm" in self.store.fields:
+                    adopt["sqnorm"] = padded(
+                        jnp.sum(di * di, axis=1).astype(jnp.float32), 0.0
+                    )
+            else:
+                dd = data.astype(self.store.fields["data"].device_dtype)
+                if self.metric == VecSimMetric.Cosine:
+                    nrm = jnp.linalg.norm(
+                        dd.astype(jnp.float32), axis=1, keepdims=True
+                    )
+                    dd = (
+                        dd.astype(jnp.float32) / jnp.where(nrm == 0, 1.0, nrm)
+                    ).astype(dd.dtype)
+                if "sqnorm" in self.store.fields:
+                    adopt["sqnorm"] = padded(
+                        jnp.sum(dd.astype(jnp.float32) ** 2, axis=1), 0.0
+                    )
+            adopt["data"] = padded(dd, 0)
+            adopt["links0"] = jnp.full((cap, self.M0), -1, dtype=jnp.int32)
+            adopt["nlinks0"] = jnp.zeros((cap,), dtype=jnp.int32)
+            adopt["upper_row"] = padded(jnp.asarray(urows), -1)
+            self.store.adopt_device(adopt, count=n)
+
+            # --- host metadata (levels, labels; vectors stay device-only) ---
+            self.store.host["level"][:n] = levels
+            self.store.host["upper_row"][:n] = urows
+            labs = (
+                np.arange(n, dtype=np.int64)
+                if labels is None
+                else np.asarray(labels, dtype=np.int64)
+            )
+            self.store.host["label"][:n] = labs
+            if self.multi:
+                for i in range(n):
+                    slot = self.labels.add(int(labs[i]), i)
+                    self.store.host["slot"][i] = slot
+            else:
+                self.labels.label_to_id = {int(l): i for i, l in enumerate(labs)}
+
+            ucap = _bucket_capacity(max(n_up, 1), self.upper.block_size)
+            self.upper.adopt_device(
+                {
+                    "links": jnp.full((ucap, self.lmax, self.M), -1, dtype=jnp.int32),
+                    "nlinks": jnp.zeros((ucap, self.lmax), dtype=jnp.int32),
+                },
+                count=n_up,
+            )
+            self.upper.host["vec"][:n_up] = upper_nodes
+
+            # --- fused construction: scan segments + pow2 tail ---
+            dev, udev, ctx = self._device_ctx()
+            state = self._graph_state(dev, udev)
+            kw = dict(
+                efc=self.ef_construction,
+                M=self.M,
+                M0=self.M0,
+                metric=self.metric,
+                kind=self.store_kind,
+                a_cap=config.build_reverse_cap,
+            )
+            nb = n // batch
+            pos = 0
+            while nb - pos >= 2:
+                T = min(scan_batches, nb - pos)
+                off0 = pos * batch
+                offsets = jnp.arange(off0, off0 + T * batch, batch, dtype=jnp.int32)
+                lv = jnp.asarray(levels[off0 : off0 + T * batch].reshape(T, batch))
+                ur = jnp.asarray(urows[off0 : off0 + T * batch].reshape(T, batch))
+                state, d = retry_device(
+                    lambda s=state, o=offsets, l=lv, u=ur: graph_build.build_scan(
+                        s, ctx, o, l, u, **kw
+                    )
+                )
+                self._build_dropped.append(d)
+                pos += T
+                self.log("debug", f"bulk build: {pos * batch}/{n}")
+            self._adopt_graph_state(state)
+            tail_start = pos * batch
+            if tail_start > 0:
+                pref = levels[:tail_start]
+                top_row = int(np.argmax(pref))
+                self.entry_id = top_row
+                self.max_level = int(pref[top_row])
+            if tail_start < n:
+                self._connect_batch_device(
+                    np.arange(tail_start, n, dtype=np.int32), levels[tail_start:]
+                )
+
+    # -- construction (host-orchestrated reference path) -----------------
 
     def _connect_batch(self, ids: list[int], levels: np.ndarray) -> None:
         prev_ep, prev_max = self.entry_id, self.max_level
@@ -505,6 +815,7 @@ class HNSWIndex(DeviceVectorIndex):
         (``native/vecsim_host.cpp`` vs_find_referrers); numpy otherwise."""
         from .. import native_bridge
 
+        self._ensure_host_links()
         count = self.store.count
         out = []
         hit = native_bridge.find_referrers(self.store.host["links0"], count, node)
@@ -626,6 +937,155 @@ class HNSWIndex(DeviceVectorIndex):
         self.store.host["flags"][node] &= ~np.uint8(FLAG_DELETED)
         self.store.mark_dirty(node, "flags")
         self._delete_node(node)
+
+    def delete_tombstoned_bulk(self, nodes) -> int:
+        """Physically remove MANY tombstoned nodes in one pass.
+
+        The per-node path (``_delete_node_tombstoned``) pays a full referrer
+        scan plus a device re-prune dispatch per node — O(tombstones × N)
+        host work. This batches the reference's ``executeReadySwapJobs``
+        (hnsw_tiered.h:332-362): one referrer sweep over the SoA link arrays
+        for the whole tombstone set, one grouped repair re-prune, then a
+        device-side compaction of the stores (gather of live rows + link id
+        remap in one dispatch) instead of N swap-with-last row moves.
+
+        All ``nodes`` must be tombstoned (FLAG_DELETED set, label entries
+        already removed by ``mark_delete``). Returns the number removed.
+        """
+        nodes = [int(x) for x in nodes]
+        if not nodes:
+            return 0
+        with self._lock:
+            return self._delete_tombstoned_bulk_locked(nodes)
+
+    def _delete_tombstoned_bulk_locked(self, nodes: list[int]) -> int:
+        self._ensure_host_links()
+        count = self.store.count
+        deleted = np.zeros(count, dtype=bool)
+        deleted[nodes] = True
+        assert (self.store.host["flags"][nodes] & FLAG_DELETED).all(), (
+            "bulk removal is for tombstoned nodes"
+        )
+        l0 = self.store.host["links0"][:count]
+        nl0 = self.store.host["nlinks0"][:count]
+
+        # --- batched neighbor repair (reference repair-job semantics) ---
+        def repair_candidates(ref: int, lvl: int, row: np.ndarray):
+            own = [int(x) for x in row if not deleted[x]]
+            borrowed: list[int] = []
+            for nb in row:
+                if deleted[nb]:
+                    borrowed.extend(
+                        x for x in self.get_links(int(nb), lvl)
+                        if x != ref and not deleted[x]
+                    )
+            cand = list(dict.fromkeys(own + borrowed))
+            cap_l = self.M0 if lvl == 0 else self.M
+            if len(cand) <= cap_l and not borrowed:
+                self.set_links(ref, lvl, cand)
+                return None
+            return (ref, lvl, cand)
+
+        repairs: list[tuple[int, int, list[int]]] = []
+        hit0 = np.nonzero(
+            ((l0 >= 0) & deleted[np.maximum(l0, 0)]).any(axis=1) & ~deleted
+        )[0]
+        for ref in hit0:
+            r = repair_candidates(int(ref), 0, l0[ref][: nl0[ref]])
+            if r is not None:
+                repairs.append(r)
+        ucount = self.upper.count
+        if ucount:
+            ul = self.upper.host["links"][:ucount]
+            un = self.upper.host["nlinks"][:ucount]
+            vec = self.upper.host["vec"][:ucount]
+            rows_u, lvls_u = np.nonzero(
+                ((ul >= 0) & deleted[np.maximum(ul, 0)]).any(axis=2)
+            )
+            for r, li in zip(rows_u, lvls_u):
+                ref = int(vec[r])
+                if deleted[ref]:
+                    continue
+                r2 = repair_candidates(ref, int(li) + 1, ul[r, li][: un[r, li]])
+                if r2 is not None:
+                    repairs.append(r2)
+        if repairs:
+            self._reprune_rows(repairs)
+
+        # --- entry point: tombstone flags already exclude the whole set ---
+        if self.entry_id >= 0 and deleted[self.entry_id]:
+            self._replace_entry_point(exclude=self.entry_id)
+
+        # --- compaction: live rows slide down, link ids remap ---
+        live = np.nonzero(~deleted)[0]
+        nlive = len(live)
+        perm = np.full(count, -1, dtype=np.int32)
+        perm[live] = np.arange(nlive, dtype=np.int32)
+        uvec = self.upper.host["vec"][:ucount] if ucount else np.empty(0, np.int32)
+        ulive = (
+            np.nonzero(~deleted[np.maximum(uvec, 0)] & (uvec >= 0))[0]
+            if ucount
+            else np.empty(0, np.int64)
+        )
+        nu = len(ulive)
+        uperm = np.full(max(ucount, 1), -1, dtype=np.int32)
+        uperm[ulive] = np.arange(nu, dtype=np.int32)
+
+        # Push pending repair edits, then compact ON DEVICE (one dispatch —
+        # re-uploading compacted host columns would move the whole store
+        # through the host link).
+        dev, udev, _ = self._device_ctx()
+        cap = self.store.capacity
+        idx = np.full(cap, max(count - 1, 0), dtype=np.int32)
+        idx[:nlive] = live
+        ucap_rows = self.upper.capacity
+        uidx = np.full(ucap_rows, 0, dtype=np.int32)
+        uidx[:nu] = ulive
+        perm_pad = np.full(cap, -1, dtype=np.int32)
+        perm_pad[:count] = perm
+        uperm_pad = np.full(max(ucap_rows, 1), -1, dtype=np.int32)
+        uperm_pad[: len(uperm)] = uperm
+        new_dev, new_udev = retry_device(
+            lambda: _compact_stores(
+                dev, udev, jnp.asarray(idx), jnp.asarray(uidx),
+                jnp.asarray(perm_pad), jnp.asarray(uperm_pad),
+            )
+        )
+        self.store._device.update(new_dev)
+        self.upper._device.update(new_udev)
+
+        # Host mirrors follow the same permutation (stale fields stay stale —
+        # their device copies were compacted above).
+        for name in self.store.fields:
+            self.store.host[name][:nlive] = self.store.host[name][live]
+        lh = self.store.host["links0"][:nlive]
+        lh[:] = np.where(lh >= 0, perm_pad[np.maximum(lh, 0)], -1)
+        urh = self.store.host["upper_row"][:nlive]
+        urh[:] = np.where(urh >= 0, uperm[np.maximum(urh, 0)], -1)
+        if ucount:
+            for name in self.upper.fields:
+                self.upper.host[name][:nu] = self.upper.host[name][ulive]
+            ulh = self.upper.host["links"][:nu]
+            ulh[:] = np.where(ulh >= 0, perm_pad[np.maximum(ulh, 0)], -1)
+            uvh = self.upper.host["vec"][:nu]
+            uvh[:] = np.where(uvh >= 0, perm[np.maximum(uvh, 0)], -1)
+        self.store.count = nlive
+        self.upper.count = nu
+        for dset in self.store._dirty_rows.values():
+            dset.clear()
+        self.store._dirty_from = nlive
+        for dset in self.upper._dirty_rows.values():
+            dset.clear()
+        self.upper._dirty_from = nu
+
+        # --- label map + entry remap ---
+        if self.entry_id >= 0:
+            self.entry_id = int(perm[self.entry_id])
+        self.labels = type(self.labels)()
+        from ..utils.serializer import _rebuild_labels
+
+        _rebuild_labels(self)
+        return len(nodes)
 
     def mark_delete(self, label: int) -> list[int]:
         """Tombstone all vectors of a label; they stay traversable."""

@@ -131,19 +131,39 @@ class TieredHNSWIndex(VecSimIndexBase):
             self.run_gc()
 
     def _execute_insert_job(self, job: AsyncJob) -> None:
-        label, blob = job.payload
+        from .. import config
+
         with self._glock:
             if not job.is_valid:
                 return
-            # Move from flat to HNSW (hnsw_tiered.h:547-606).
-            self.backend.add_vector_batch(blob.reshape(1, -1), [label])
-            jobs = self._insert_jobs.get(label)
-            if jobs and job in jobs:
-                jobs.remove(job)
-                if not jobs:
-                    del self._insert_jobs[label]
-            job.is_valid = False
-            self._remove_one_from_flat(label, blob)
+            # Coalesce: this job plus every other pending valid insert job
+            # migrates in ONE backend batch — the queue is the natural batch
+            # (the reference moves one vector per job, hnsw_tiered.h:547-606,
+            # which would cap async ingest at the single-insert rate). Later
+            # queued jobs become no-ops via is_valid.
+            batch = [job]
+            cap = max(config.build_batch, 1)
+            for jobs in self._insert_jobs.values():
+                for j in jobs:
+                    if j.is_valid and j is not job:
+                        batch.append(j)
+                        if len(batch) >= cap:
+                            break
+                if len(batch) >= cap:
+                    break
+            labels = [j.payload[0] for j in batch]
+            blobs = np.stack([j.payload[1].reshape(-1) for j in batch])
+            self.backend.add_vector_batch(blobs, labels)
+            for j in batch:
+                label = j.payload[0]
+                jobs = self._insert_jobs.get(label)
+                if jobs and j in jobs:
+                    jobs.remove(j)
+                    if not jobs:
+                        del self._insert_jobs[label]
+                j.is_valid = False
+            for j in batch:
+                self._remove_one_from_flat(j.payload[0], j.payload[1])
 
     def _remove_one_from_flat(self, label: int, blob: np.ndarray) -> None:
         fe = self.frontend
@@ -237,18 +257,14 @@ class TieredHNSWIndex(VecSimIndexBase):
         VecSimTieredIndex_GC, hnsw_tiered.h:332-362, 230-235)."""
         with self._glock:
             be = self.backend
-            if be.num_marked_deleted:
-                self.log("verbose",
-                         f"tiered GC: applying {be.num_marked_deleted} pending swaps")
-            while True:
-                count = be.store.count
-                flagged = np.nonzero(be.store.host["flags"][:count] & 1)[0]
-                if len(flagged) == 0:
-                    break
-                node = int(flagged[-1])  # back-first keeps earlier ids stable
-                be._delete_node_tombstoned(node)
-                be.num_marked_deleted -= 1
-                self._pending_swaps = max(0, self._pending_swaps - 1)
+            count = be.store.count
+            flagged = np.nonzero(be.store.host["flags"][:count] & 1)[0]
+            if len(flagged) == 0:
+                return
+            self.log("verbose", f"tiered GC: removing {len(flagged)} tombstones")
+            removed = be.delete_tombstoned_bulk(flagged)
+            be.num_marked_deleted = max(0, be.num_marked_deleted - removed)
+            self._pending_swaps = max(0, self._pending_swaps - removed)
             be.store.maybe_shrink()
 
     def _label_exists(self, label: int) -> bool:

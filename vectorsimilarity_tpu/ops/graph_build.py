@@ -100,11 +100,13 @@ def apply_reverse_edges_device(
     Matches ``revisitNeighborConnections`` (hnsw.h:781-868): a row with room
     appends; a full row re-runs heuristic2 over (existing neighbors ∪ new
     nodes), anchored at the row owner's vector. At most ``a_cap`` new nodes
-    per row join the re-prune candidate set; surplus pairs are counted in
-    the returned ``dropped`` (statistically negligible for random batches —
-    the host can fall back when it is not).
+    per row join the re-prune candidate set; surplus pairs are returned as a
+    residual (rows == R sentinel marks handled slots) so the caller can run
+    further passes (``apply_reverse_edges_multi``) — hub rows in early
+    batches routinely collect more than ``a_cap`` back-edges.
 
-    Returns (links, nlinks, dropped).
+    Returns (links, nlinks, res_rows, res_dst, res_src) with residuals in
+    sorted-pair order.
     """
     R = links.shape[0]
     P = rows.shape[0]
@@ -135,7 +137,7 @@ def apply_reverse_edges_device(
     newmat = jnp.full((P, a_cap), -1, dtype=jnp.int32)
     put = valid_s & (rank < a_cap)
     newmat = newmat.at[jnp.where(put, seg_id, P), rank].set(src_s, mode="drop")
-    dropped = jnp.sum(valid_s & ~fits & (rank >= a_cap))
+    leftover = valid_s & ~fits & (rank >= a_cap)
 
     old = jnp.take(links, safe_key, axis=0)  # overflow rows untouched above
     cand = jnp.concatenate([old, jnp.take(newmat, seg_id, axis=0)], axis=1)
@@ -157,6 +159,46 @@ def apply_reverse_edges_device(
     nlinks = nlinks.at[apply_rows].set(
         jnp.sum(pruned >= 0, axis=1).astype(nlinks.dtype), mode="drop"
     )
+    res_rows = jnp.where(leftover, key_s, R).astype(jnp.int32)
+    res_dst = jnp.where(leftover, dst_s, -1)
+    res_src = jnp.where(leftover, src_s, -1)
+    return links, nlinks, res_rows, res_dst, res_src
+
+
+def apply_reverse_edges_multi(
+    links, nlinks, rows, dst_ids, src_ids, ctx, *,
+    m_cap, a_cap, metric, kind, prune_chunk=2048, passes=2,
+):
+    """Reverse-edge application with residual passes.
+
+    Each pass admits up to ``a_cap`` new back-edges per row (append or
+    heuristic re-prune); the surplus is compacted to a small bucket and
+    re-applied — matching the reference's one-edge-at-a-time semantics for
+    hub rows without paying full-width prune cost twice. Pairs still left
+    after the last pass are counted in ``dropped``.
+
+    Returns (links, nlinks, dropped).
+    """
+    R = links.shape[0]
+    dropped = jnp.int32(0)
+    for p in range(passes):
+        links, nlinks, rows, dst_ids, src_ids = apply_reverse_edges_device(
+            links, nlinks, rows, dst_ids, src_ids, ctx,
+            m_cap=m_cap, a_cap=a_cap, metric=metric, kind=kind,
+            prune_chunk=prune_chunk,
+        )
+        if p + 1 < passes:
+            # Residuals are rare (hub rows only): compact to P/8 slots.
+            P = rows.shape[0]
+            bucket = max(min(P, 256), P // 8)
+            if bucket < P:
+                n_res = jnp.sum(rows < R)
+                order = jnp.argsort(jnp.where(rows < R, 0, 1), stable=True)[:bucket]
+                rows = jnp.take(rows, order)
+                dst_ids = jnp.take(dst_ids, order)
+                src_ids = jnp.take(src_ids, order)
+                dropped = dropped + n_res - jnp.sum(rows < R)
+    dropped = dropped + jnp.sum(rows < R)
     return links, nlinks, dropped
 
 
@@ -174,6 +216,7 @@ def connect_batch_impl(
     kind: str,
     a_cap: int = 16,
     prune_chunk: int = 2048,
+    rev_passes: int = 2,
 ):
     """Insert one batch of already-stored vectors into the graph.
 
@@ -290,9 +333,10 @@ def connect_batch_impl(
     dst0 = sel0_m.reshape(-1)
     src0 = jnp.repeat(ids, M)
     dst0 = drop_mutual(dst0, src0, sel0)
-    links0, nlinks0, drop0 = apply_reverse_edges_device(
+    links0, nlinks0, drop0 = apply_reverse_edges_multi(
         links0, nlinks0, dst0, dst0, src0, ctx,
         m_cap=M0, a_cap=a_cap, metric=metric, kind=kind, prune_chunk=prune_chunk,
+        passes=rev_passes,
     )
 
     # --- reverse edges, upper levels (flattened [ucap*LU, M] view) ---
@@ -315,16 +359,19 @@ def connect_batch_impl(
         (dstU >= 0) & (target_urow >= 0), target_urow * LU + lvlU, -1
     )
     # Upper pairs are sparse (~n·M/(M-1) valid of n·LU·M slots): compact to
-    # a static bucket before the prune-heavy reverse application.
-    PU = min(8 * n, flat_row.shape[0])
+    # a static bucket before the prune-heavy reverse application. The LU*M
+    # floor keeps small batches (down to n=1, where a single high-level node
+    # emits up to LU*M pairs) from overflowing the bucket.
+    PU = min(max(8 * n, LU * M), flat_row.shape[0])
     order = jnp.argsort(jnp.where(flat_row >= 0, 0, 1), stable=True)[:PU]
     dropU_compact = jnp.sum(flat_row >= 0) - jnp.sum(jnp.take(flat_row, order) >= 0)
     flat_row_c = jnp.take(flat_row, order)
     dstU_c = jnp.take(dstU, order)
     srcU_c = jnp.take(srcU, order)
-    uflat, unflat, dropU = apply_reverse_edges_device(
+    uflat, unflat, dropU = apply_reverse_edges_multi(
         uflat, unflat, flat_row_c, dstU_c, srcU_c, ctx,
         m_cap=M, a_cap=a_cap, metric=metric, kind=kind, prune_chunk=prune_chunk,
+        passes=rev_passes,
     )
     ulinks = uflat.reshape(ucap, LU, M)
     unlinks = unflat.reshape(ucap, LU)
@@ -344,23 +391,26 @@ def connect_batch_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("efc", "M", "M0", "metric", "kind", "a_cap", "prune_chunk"),
-    donate_argnums=(0,),
+    static_argnames=("efc", "M", "M0", "metric", "kind", "a_cap", "prune_chunk",
+                     "rev_passes"),
 )
 def connect_batch(state, ctx, ids, levels, urows, *, efc, M, M0, metric, kind,
-                  a_cap=16, prune_chunk=2048):
-    """Jitted single-batch insert; donates the graph state buffers."""
+                  a_cap=16, prune_chunk=2048, rev_passes=2):
+    """Jitted single-batch insert.
+
+    No buffer donation: callers retry transient backend failures by
+    re-invoking with the same (still-live) input state."""
     return connect_batch_impl(
         state, ctx, ids, levels, urows,
         efc=efc, M=M, M0=M0, metric=metric, kind=kind,
-        a_cap=a_cap, prune_chunk=prune_chunk,
+        a_cap=a_cap, prune_chunk=prune_chunk, rev_passes=rev_passes,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("efc", "M", "M0", "metric", "kind", "a_cap", "prune_chunk"),
-    donate_argnums=(0,),
+    static_argnames=("efc", "M", "M0", "metric", "kind", "a_cap", "prune_chunk",
+                     "rev_passes"),
 )
 def build_scan(
     state: GraphState,
@@ -376,6 +426,7 @@ def build_scan(
     kind: str,
     a_cap: int = 16,
     prune_chunk: int = 2048,
+    rev_passes: int = 2,
 ):
     """Insert T consecutive batches in ONE device dispatch.
 
@@ -391,7 +442,7 @@ def build_scan(
         return connect_batch_impl(
             st, ctx, ids, lv, ur,
             efc=efc, M=M, M0=M0, metric=metric, kind=kind,
-            a_cap=a_cap, prune_chunk=prune_chunk,
+            a_cap=a_cap, prune_chunk=prune_chunk, rev_passes=rev_passes,
         )
 
     return jax.lax.scan(step, state, (offsets, levels, urows))

@@ -245,12 +245,23 @@ def beam_search_impl(
         jnp.where(active_rows, entry_dists.astype(jnp.float32), jnp.inf)
     )
     beam_i = beam_i.at[:, 0].set(entry_ids)
-    visited = jnp.zeros((B, visited_cap), dtype=jnp.uint8)
-    # Inactive/absent entries scatter at visited_cap (truly out-of-bounds,
-    # hence dropped) — a -1 index would wrap to the last column.
+    # Visited set as a BITMAP ([B, cap/32] uint32, 1 bit per node) — the
+    # byte-map version was [B, cap] (10 GB at 10M nodes x B=1024; the
+    # reference's per-query tag array is visited_nodes_handler.h:16-77).
+    # Bit sets use scatter-ADD, which equals OR here: neighbor ids within a
+    # row are unique (graph invariant) and already-set bits are masked out
+    # by ~seen before the scatter.
+    W32 = (visited_cap + 31) // 32
+    one = jnp.uint32(1)
+    visited = jnp.zeros((B, W32), dtype=jnp.uint32)
+    # Inactive/absent entries scatter at W32 (truly out-of-bounds, hence
+    # dropped) — a -1 index would wrap to the last column.
     visited = visited.at[
-        jnp.arange(B), jnp.where(entry_ids >= 0, entry_ids, visited_cap)
-    ].set(1, mode="drop")
+        jnp.arange(B), jnp.where(entry_ids >= 0, entry_ids >> 5, W32)
+    ].add(
+        jnp.left_shift(one, (jnp.maximum(entry_ids, 0) & 31).astype(jnp.uint32)),
+        mode="drop",
+    )
     done = ~active_rows
     rows_b = jnp.arange(B)
 
@@ -278,9 +289,12 @@ def beam_search_impl(
         nbrs = nbrs_of(safe_cur)  # [B, M]
         valid = (nbrs >= 0) & active[:, None]
         safe = jnp.where(valid, nbrs, 0)
-        seen = jnp.take_along_axis(visited, safe, axis=1) > 0
+        words = jnp.take_along_axis(visited, safe >> 5, axis=1)
+        shift = (safe & 31).astype(jnp.uint32)
+        seen = (words >> shift) & one > 0
         valid = valid & ~seen
-        visited = visited.at[rows_b[:, None], safe].max(valid.astype(jnp.uint8))
+        bits = jnp.where(valid, jnp.left_shift(one, shift), jnp.uint32(0))
+        visited = visited.at[rows_b[:, None], safe >> 5].add(bits)
         nd = gathered_dists(q, safe, ctx, metric, kind, q_norm, q_meta)
         nd = jnp.where(valid, nd, jnp.inf)
         new_i = jnp.where(valid, safe, -1)

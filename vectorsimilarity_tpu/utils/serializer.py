@@ -52,7 +52,10 @@ def _rebuild_labels(index) -> None:
     labels = index.store.host["label"][:count]
     if index.multi:
         slots = index.store.host["slot"][:count]
+        flags = index.store.host.get("flags")
         for i in range(count):
+            if flags is not None and flags[i] & 1:
+                continue  # tombstoned rows have no label entry
             lab, slot = int(labels[i]), int(slots[i])
             if lab in index.labels.label_to_ids:
                 index.labels.label_to_ids[lab].add(i)
@@ -80,6 +83,12 @@ def save_index(index, path: str) -> None:
 
     arrays: dict[str, np.ndarray] = {}
     meta: dict = {"version": FORMAT_VERSION}
+    # Device-authoritative content (adopt_device data, device-built graphs)
+    # must reach the host mirrors before they are dumped.
+    getattr(index, "_ensure_host_links", lambda: None)()
+    index.store.pull_host()
+    if hasattr(index, "upper"):
+        index.upper.pull_host()
 
     if isinstance(index, TieredHNSWIndex):
         raise ValueError(
@@ -172,6 +181,8 @@ def load_index(path: str):
 def check_integrity(index) -> bool:
     """Structural invariants (hnsw_serializer_impl.h:57 checkIntegrity):
     links point to live rows, counts match, label maps align with columns."""
+    getattr(index, "_ensure_host_links", lambda: None)()
+    index.store.pull_host()
     count = index.store.count
     labels_col = index.store.host["label"][:count]
     # Label maps agree with the label column.
