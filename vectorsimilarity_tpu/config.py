@@ -32,6 +32,11 @@ graph_build_device: bool = True
 build_batch: int = 1024  # max rows per connect_batch dispatch (pow2)
 build_scan_batches: int = 64  # batches fused per build_scan dispatch (bulk)
 build_reverse_cap: int = 16  # new back-edges joining one row's re-prune
+build_beam_expand: int = 4  # candidates popped per construction-beam iteration
+# bf16 navigation shadow for fp32 stores: construction beams gather half the
+# bytes (random row gathers are the build bottleneck); exact fp32 rows still
+# drive pruning anchors and query scoring.
+build_nav_bf16: bool = True
 
 # Beam-search iteration budget: max_iters = factor * ef + base. This is the
 # in-kernel analog of the reference's timeout polling — it bounds worst-case

@@ -214,11 +214,33 @@ class HNSWIndex(DeviceVectorIndex):
     # Device context
     # ------------------------------------------------------------------
 
-    def _device_ctx(self):
+    def _device_ctx(self, nav: bool = False):
         dev = self.store.device_arrays()
         udev = self.upper.device_arrays()
-        ctx = StoreCtx(data=dev["data"], sqnorm=dev.get("sqnorm"), norm=dev.get("norm"))
+        nav_arr = None
+        if (
+            nav
+            and config.build_nav_bf16
+            and self.store_kind == "float"
+            and dev["data"].dtype == jnp.float32
+        ):
+            nav_arr = self._nav_shadow(dev["data"])
+        ctx = StoreCtx(
+            data=dev["data"], sqnorm=dev.get("sqnorm"), norm=dev.get("norm"),
+            nav=nav_arr,
+        )
         return dev, udev, ctx
+
+    def _nav_shadow(self, data) -> jnp.ndarray:
+        """bf16 shadow of the device data, cached per data buffer (the cast
+        costs a full read+write; one insert batch reuses it across every
+        kernel, and bulk builds reuse it across the whole build)."""
+        cached = getattr(self, "_nav_cache", None)
+        if cached is not None and cached[0] is data:
+            return cached[1]
+        nav = data.astype(jnp.bfloat16)
+        self._nav_cache = (data, nav)
+        return nav
 
     # ------------------------------------------------------------------
     # Device-authoritative link state (ops/graph_build.py)
@@ -356,7 +378,7 @@ class HNSWIndex(DeviceVectorIndex):
         ids = np.asarray(ids, dtype=np.int32)
         levels = np.asarray(levels, dtype=np.int32)
         urows = self.store.host["upper_row"][ids].astype(np.int32)
-        dev, udev, ctx = self._device_ctx()
+        dev, udev, ctx = self._device_ctx(nav=True)
         state = self._graph_state(dev, udev)
         kw = dict(
             efc=self.ef_construction,
@@ -365,6 +387,7 @@ class HNSWIndex(DeviceVectorIndex):
             metric=self.metric,
             kind=self.store_kind,
             a_cap=config.build_reverse_cap,
+            beam_expand=config.build_beam_expand,
         )
         off = 0
         while off < n:
@@ -509,7 +532,7 @@ class HNSWIndex(DeviceVectorIndex):
             self.upper.host["vec"][:n_up] = upper_nodes
 
             # --- fused construction: scan segments + pow2 tail ---
-            dev, udev, ctx = self._device_ctx()
+            dev, udev, ctx = self._device_ctx(nav=True)
             state = self._graph_state(dev, udev)
             kw = dict(
                 efc=self.ef_construction,
@@ -518,6 +541,7 @@ class HNSWIndex(DeviceVectorIndex):
                 metric=self.metric,
                 kind=self.store_kind,
                 a_cap=config.build_reverse_cap,
+                beam_expand=config.build_beam_expand,
             )
             nb = n // batch
             pos = 0
@@ -527,12 +551,17 @@ class HNSWIndex(DeviceVectorIndex):
                 offsets = jnp.arange(off0, off0 + T * batch, batch, dtype=jnp.int32)
                 lv = jnp.asarray(levels[off0 : off0 + T * batch].reshape(T, batch))
                 ur = jnp.asarray(urows[off0 : off0 + T * batch].reshape(T, batch))
-                state, d = retry_device(
-                    lambda s=state, o=offsets, l=lv, u=ur: graph_build.build_scan(
-                        s, ctx, o, l, u, **kw
-                    )
-                )
-                self._build_dropped.append(d)
+
+                def run_segment(s=state, o=offsets, l=lv, u=ur):
+                    s2, d2 = graph_build.build_scan(s, ctx, o, l, u, **kw)
+                    # Force execution before the next segment enqueues:
+                    # piling many multi-minute scan programs into the async
+                    # stream has crashed relay-backed TPU workers, and the
+                    # read is what surfaces retryable failures here.
+                    return s2, int(np.asarray(d2).sum())
+
+                state, dropped = retry_device(run_segment)
+                self._build_dropped.append(dropped)
                 pos += T
                 self.log("debug", f"bulk build: {pos * batch}/{n}")
             self._adopt_graph_state(state)

@@ -217,6 +217,7 @@ def connect_batch_impl(
     a_cap: int = 16,
     prune_chunk: int = 2048,
     rev_passes: int = 2,
+    beam_expand: int = 4,
 ):
     """Insert one batch of already-stored vectors into the graph.
 
@@ -262,6 +263,7 @@ def connect_batch_impl(
         bd, bi = beam_search_impl(
             q, ctx, ulinks, upper_row, cur, cur_d, cap, level=l,
             active=beam_on, ef=efc, metric=metric, kind=kind, q_norm=qn,
+            expand=beam_expand,
         )
         gcur, gcur_d = greedy_level_impl(
             q, ctx, ulinks, upper_row, cur, cur_d, level=l, active=greedy_on,
@@ -297,7 +299,7 @@ def connect_batch_impl(
     # reverse-edge growth, hnsw.h:874-886) ---
     b0d, b0i = beam_search_impl(
         q, ctx, links0, None, cur, cur_d, cap, active=has_graph & jnp.ones((n,), bool),
-        ef=efc, metric=metric, kind=kind, q_norm=qn,
+        ef=efc, metric=metric, kind=kind, q_norm=qn, expand=beam_expand,
     )
     peer0 = ~jnp.eye(n, dtype=bool)
     ci0 = jnp.concatenate([b0i, jnp.where(peer0, ids[None, :], -1)], axis=1)
@@ -392,10 +394,10 @@ def connect_batch_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("efc", "M", "M0", "metric", "kind", "a_cap", "prune_chunk",
-                     "rev_passes"),
+                     "rev_passes", "beam_expand"),
 )
 def connect_batch(state, ctx, ids, levels, urows, *, efc, M, M0, metric, kind,
-                  a_cap=16, prune_chunk=2048, rev_passes=2):
+                  a_cap=16, prune_chunk=2048, rev_passes=2, beam_expand=4):
     """Jitted single-batch insert.
 
     No buffer donation: callers retry transient backend failures by
@@ -404,13 +406,14 @@ def connect_batch(state, ctx, ids, levels, urows, *, efc, M, M0, metric, kind,
         state, ctx, ids, levels, urows,
         efc=efc, M=M, M0=M0, metric=metric, kind=kind,
         a_cap=a_cap, prune_chunk=prune_chunk, rev_passes=rev_passes,
+        beam_expand=beam_expand,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("efc", "M", "M0", "metric", "kind", "a_cap", "prune_chunk",
-                     "rev_passes"),
+                     "rev_passes", "beam_expand"),
 )
 def build_scan(
     state: GraphState,
@@ -427,6 +430,7 @@ def build_scan(
     a_cap: int = 16,
     prune_chunk: int = 2048,
     rev_passes: int = 2,
+    beam_expand: int = 4,
 ):
     """Insert T consecutive batches in ONE device dispatch.
 
@@ -443,6 +447,7 @@ def build_scan(
             st, ctx, ids, lv, ur,
             efc=efc, M=M, M0=M0, metric=metric, kind=kind,
             a_cap=a_cap, prune_chunk=prune_chunk, rev_passes=rev_passes,
+            beam_expand=beam_expand,
         )
 
     return jax.lax.scan(step, state, (offsets, levels, urows))
