@@ -51,7 +51,16 @@ def main():
     import jax.numpy as jnp
 
     import vectorsimilarity_tpu as vs
+    from vectorsimilarity_tpu.core.interface import VecSimIndexBase
     from vectorsimilarity_tpu.indexes.hnsw import HNSWIndex
+
+    t_start = time.perf_counter()
+
+    def _log_cb(ctx, level, msg):
+        print(f"# [{time.perf_counter() - t_start:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    VecSimIndexBase.log_callback = staticmethod(_log_cb)
     from vectorsimilarity_tpu.types import HNSWParams, VecSimMetric, VecSimType
     from vectorsimilarity_tpu.utils.synthetic import embedding_like
     from vectorsimilarity_tpu.core.store import _bucket_capacity
