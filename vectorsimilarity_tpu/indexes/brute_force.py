@@ -143,6 +143,39 @@ class BruteForceIndex(DeviceVectorIndex):
                 qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], bpad - nq)])
         return q, qnorms
 
+    def search_knn_device(self, qd, k: int, qn=None):
+        """Device-array top-k for device-resident query pipelines
+        (parallels ``HNSWIndex.search_knn_device``): ``qd`` must already be
+        preprocessed (normalized for float cosine; ``qn`` = query norms for
+        int cosine). Returns DEVICE (dists [B, kpad], ids [B, kpad]) with
+        row ids, not labels — the host pipeline maps labels when it
+        materializes results."""
+        from .. import config
+
+        with self._lock:
+            count = self.store.count
+            kpad = min(pow2_bucket(min(k, max(count, 1))), self.store.capacity)
+            dev = self.store.device_arrays()
+            if config.pallas_enabled(self.store_kind, kpad, self.store.capacity):
+                from ..ops.pallas.bf_topk import pallas_topk
+
+                data, sqn = self.store_tuple(dev)
+                return pallas_topk(
+                    qd, data, sqn, jnp.int32(count), kpad,
+                    metric=self.metric,
+                    tile_n=min(config.pallas_tile_n, self.store.capacity),
+                )
+            return streaming_topk(
+                qd,
+                self.store_tuple(dev),
+                jnp.int32(count),
+                kpad,
+                metric=self.metric,
+                kind=self.store_kind,
+                chunk=max(_SCAN_CHUNK, kpad),
+                query_norms=qn,
+            )
+
     def _topk_single(self, q, qnorms, k: int, nq: int) -> list[QueryReply]:
         from .. import config
 

@@ -245,27 +245,54 @@ _SMALL_TOPK_MAX = 16
 
 
 def _lex_topk(d: jax.Array, k: int):
-    """Exact smallest-k of each row by k lexicographic min-extraction passes.
+    """Exact smallest-k per row: one grouped-argmin pass + k cheap pops.
 
-    ``lax.top_k`` on TPU costs ~18 ms per [1024, 64k] tile (sort-based
-    lowering) — 7x the score matmul it follows. For small k, re-reading the
-    tile k times with a (value, index) threshold is a plain fused reduce per
-    pass: ~6x faster at k=10. Tie order (lower index first) matches top_k.
-    Returns (vals [B, k], positions [B, k]); exhausted slots are (+inf, L-1).
+    ``lax.top_k`` on TPU costs ~90 ms per [1024, 64k] tile (sort-based
+    lowering) — 30x the score matmul it follows. Here the tile is read ONCE
+    (per-group argmin over L/128 groups); each of the k pops then takes the
+    global min of the [B, G] group-min matrix and recomputes only the popped
+    group's min (a [B, 128] gather) with the already-popped entries masked.
+    Tie order (lower index first) matches top_k exactly. Returns
+    (vals [B, k], positions [B, k]); exhausted slots are +inf.
     """
     B, L = d.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    Lg = min(128, L)
+    pad = (-L) % Lg
+    if pad:
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    G = d.shape[1] // Lg
+    tile = d.reshape(B, G, Lg)
+    gpos = jnp.argmin(tile, axis=2).astype(jnp.int32)  # [B, G] single full read
+    gmin = jnp.take_along_axis(tile, gpos[:, :, None], axis=2)[:, :, 0]
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (B, G), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (B, Lg), 1)
+    popped_g = jnp.full((B, k), -1, dtype=jnp.int32)
+    popped_p = jnp.full((B, k), -1, dtype=jnp.int32)
     vals, poss = [], []
-    last_v = jnp.full((B, 1), -jnp.inf)
-    last_p = jnp.full((B, 1), -1, dtype=jnp.int32)
-    for _ in range(k):
-        after = (d > last_v) | ((d == last_v) & (iota > last_p))
-        key = jnp.where(after, d, jnp.inf)
-        p = jnp.argmin(key, axis=1)
-        v = jnp.take_along_axis(key, p[:, None], axis=1)[:, 0]
+    for t in range(k):
+        g = jnp.argmin(gmin, axis=1).astype(jnp.int32)  # ties: lowest group
+        v = jnp.take_along_axis(gmin, g[:, None], axis=1)[:, 0]
+        p = jnp.take_along_axis(gpos, g[:, None], axis=1)[:, 0]
         vals.append(v)
-        poss.append(p)
-        last_v, last_p = v[:, None], p[:, None]
+        poss.append(g * Lg + p)
+        popped_g = popped_g.at[:, t].set(g)
+        popped_p = popped_p.at[:, t].set(p)
+        if t + 1 == k:
+            break
+        # Recompute the popped group's min, masking every entry already
+        # popped from that group ([B, Lg, k] compare — tiny).
+        grp = jnp.take_along_axis(tile, g[:, None, None], axis=1)[:, 0]  # [B, Lg]
+        excl = jnp.any(
+            (popped_g[:, None, :] == g[:, None, None])
+            & (popped_p[:, None, :] == iota_l[:, :, None]),
+            axis=2,
+        )
+        grp = jnp.where(excl, jnp.inf, grp)
+        np_ = jnp.argmin(grp, axis=1).astype(jnp.int32)
+        nv = jnp.take_along_axis(grp, np_[:, None], axis=1)[:, 0]
+        hit = iota_g == g[:, None]
+        gmin = jnp.where(hit, nv[:, None], gmin)
+        gpos = jnp.where(hit, np_[:, None], gpos)
     return jnp.stack(vals, axis=1), jnp.stack(poss, axis=1)
 
 
