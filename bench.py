@@ -154,11 +154,11 @@ def main() -> None:
     _ = [float(jnp.sum(qb[0].astype(jnp.float32))) for qb, _ in staged]  # materialize
     kind = "int" if args.dtype == "int8" else "float"
     needs_qn = kind == "int"
-    out = idx.search_knn_device(staged[0][0], k, staged[0][1] if needs_qn else None)
+    out = idx.search_knn_device(staged[0][0], k, qn=staged[0][1] if needs_qn else None)
     _ = float(np.asarray(out[0])[0, 0])  # warm compile + force
     t0 = time.perf_counter()
     for qb, qn in staged:
-        out = idx.search_knn_device(qb, k, qn if needs_qn else None)
+        out = idx.search_knn_device(qb, k, qn=qn if needs_qn else None)
     _ = np.asarray(out[0])[:, :1]  # force the chain (relay defers laziness)
     t1 = time.perf_counter()
     qps = args.repeats * B / (t1 - t0)

@@ -1,0 +1,122 @@
+"""Parity tests for the fused Pallas BF top-k kernel (interpret mode).
+
+The kernel-vs-XLA-engine contract (the ``test_spaces.cpp`` analog for the
+fused scan): identical selected sets at matching precision class, exact
+ordering semantics (ascending distance, ties by lower id), dead-row masking
+via ``count``, and the lexicographic multipass chain for k > 128.
+Runs in Pallas interpret mode on CPU; the real-MXU path is exercised by
+``bench.py --engine pallas`` and the driver bench.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vectorsimilarity_tpu.ops.pallas.bf_topk import pallas_topk
+from vectorsimilarity_tpu.types import VecSimMetric
+
+
+def _ref_topk(q, data, count, k, metric):
+    qf = np.asarray(q, np.float64)
+    df = np.asarray(data, np.float64)[:count]
+    ip = qf @ df.T
+    if metric == VecSimMetric.L2:
+        s = (qf * qf).sum(1)[:, None] - 2 * ip + (df * df).sum(1)[None, :]
+    else:
+        s = 1.0 - ip
+    # lexicographic (distance, id) ascending
+    order = np.lexsort((np.arange(s.shape[1])[None, :].repeat(len(qf), 0), s), axis=1)
+    idx = order[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def _mk(n, d, b, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return jnp.asarray(q, dtype), jnp.asarray(data, dtype)
+
+
+@pytest.mark.parametrize("metric", [VecSimMetric.Cosine, VecSimMetric.L2])
+def test_parity_small_k(metric):
+    n, d, b, k = 512, 64, 8, 10
+    q, data = _mk(n, d, b)
+    sqn = jnp.sum(data.astype(jnp.float32) ** 2, axis=1)
+    pd, pi = pallas_topk(q, data, sqn, jnp.int32(n), k,
+                         metric=metric, tile_n=128, interpret=True)
+    rd, ri = _ref_topk(q, data, n, k, metric)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert np.allclose(pd, rd, atol=5e-4)
+    # id agreement except where fp64-vs-bf16_3x rounding flips near-ties
+    flip = pi != ri
+    if flip.any():
+        assert np.abs(pd[flip] - rd[flip]).max() < 5e-4
+
+
+def test_count_masking():
+    n, d, b, k = 256, 32, 4, 8
+    q, data = _mk(n, d, b, seed=1)
+    count = 100
+    pd, pi = pallas_topk(q, data, None, jnp.int32(count), k,
+                         metric=VecSimMetric.Cosine, tile_n=64, interpret=True)
+    assert int(np.asarray(pi).max()) < count
+    rd, ri = _ref_topk(q, data, count, k, VecSimMetric.Cosine)
+    assert np.allclose(np.asarray(pd), rd, atol=5e-4)
+
+
+def test_k_exceeds_count():
+    n, d, b, k = 128, 32, 4, 16
+    q, data = _mk(n, d, b, seed=2)
+    count = 10
+    pd, pi = pallas_topk(q, data, None, jnp.int32(count), k,
+                         metric=VecSimMetric.Cosine, tile_n=64, interpret=True)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert (pi[:, count:] == -1).all()
+    assert np.isinf(pd[:, count:]).all()
+    rd, _ = _ref_topk(q, data, count, count, VecSimMetric.Cosine)
+    assert np.allclose(pd[:, :count], rd, atol=5e-4)
+
+
+def test_multipass_large_k():
+    # k > PASS_K exercises the lexicographic lower-bound chain.
+    n, d, b, k = 512, 32, 4, 200
+    q, data = _mk(n, d, b, seed=3)
+    pd, pi = pallas_topk(q, data, None, jnp.int32(n), k,
+                         metric=VecSimMetric.Cosine, tile_n=128, interpret=True)
+    rd, ri = _ref_topk(q, data, n, k, VecSimMetric.Cosine)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert np.allclose(pd, rd, atol=5e-4)
+    # ascending order within each row
+    assert (np.diff(pd, axis=1) >= -1e-7).all()
+    # no duplicate ids across the pass boundary
+    for row in pi:
+        assert len(set(row.tolist())) == k
+
+
+def test_duplicate_vectors_tie_order():
+    # Duplicated rows -> exact distance ties; selection must prefer lower id
+    # and the multipass chain must not drop/duplicate any of them.
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((8, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    data = jnp.asarray(np.tile(base, (16, 1)))  # 128 rows, every vector x16
+    q = jnp.asarray(base[:2])
+    pd, pi = pallas_topk(q, data, None, jnp.int32(128), 140 // 10 * 10,
+                         metric=VecSimMetric.Cosine, tile_n=64, interpret=True)
+    pi = np.asarray(pi)
+    for row in pi:
+        valid = row[row >= 0]
+        assert len(set(valid.tolist())) == len(valid)
+
+
+def test_bf16_store_native_lane():
+    n, d, b, k = 256, 32, 4, 8
+    q, data = _mk(n, d, b, dtype=jnp.bfloat16, seed=5)
+    pd, pi = pallas_topk(q, data, None, jnp.int32(n), k,
+                         metric=VecSimMetric.Cosine, tile_n=64, interpret=True)
+    rd, _ = _ref_topk(np.asarray(q, np.float32), np.asarray(data, np.float32),
+                      n, k, VecSimMetric.Cosine)
+    assert np.allclose(np.asarray(pd), rd, atol=2e-2)  # bf16 storage error

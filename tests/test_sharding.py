@@ -82,6 +82,49 @@ def test_query_parallel_hnsw_search(mesh):
         assert set(ids[b][:k].tolist()) == set(i0[b][:k].tolist())
 
 
+def test_sharded_index_lifecycle(mesh):
+    """add -> delete -> query through BruteForceIndex.to_sharded: full index
+    semantics (labels, swap-with-last, growth re-shard) on a sharded store."""
+    from vectorsimilarity_tpu import (
+        BFParams, VecSimAlgo, VecSimParams, VecSimType, create_index,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, k = 24, 10
+    idx = create_index(VecSimParams(algo=VecSimAlgo.BF, bfParams=BFParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2)))
+    idx.to_sharded(mesh)
+
+    n0 = 1500
+    data = rng.standard_normal((n0, dim)).astype(np.float32)
+    idx.add_vector_batch(data, list(range(n0)))
+    assert idx.store.sharding is not None
+    assert idx.store.device_arrays()["data"].sharding.spec[0] is not None
+
+    # Query parity vs numpy.
+    q = rng.standard_normal((3, dim)).astype(np.float32)
+    want = np.argsort(gt_scores(q, data, VecSimMetric.L2), axis=1)[:, :k]
+    reps = idx.topk_query_batch(q, k)
+    for b, rep in enumerate(reps):
+        assert set(rep.ids.tolist()) == set(want[b].tolist())
+
+    # Delete half (swap-with-last churn), re-query.
+    for lab in range(0, n0, 2):
+        idx.delete_vector(lab)
+    assert idx.index_size == n0 // 2
+    live = np.arange(1, n0, 2)
+    want = live[np.argsort(gt_scores(q, data[live], VecSimMetric.L2), axis=1)[:, :k]]
+    for b, rep in enumerate(idx.topk_query_batch(q, k)):
+        assert set(rep.ids.tolist()) == set(want[b].tolist())
+
+    # Growth past the capacity bucket re-shards.
+    more = rng.standard_normal((2048, dim)).astype(np.float32)
+    idx.add_vector_batch(more, list(range(n0, n0 + 2048)))
+    assert idx.store.device_arrays()["data"].sharding.spec[0] is not None
+    rep = idx.topk_query(more[5], 1)
+    assert int(rep.ids[0]) == n0 + 5
+
+
 def test_graft_entry_single_and_multichip():
     import sys, os
 

@@ -10,12 +10,14 @@ force it. The XLA path remains the reference implementation for every
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
-# Default "never": the XLA streaming path is the production engine; the
-# fused Pallas kernel is opt-in ("auto"/"always") pending more soak time on
-# real hardware (it compiles and matches on-device, but remote-compile
-# latency through the axon relay is unpredictable).
-use_pallas: str = "never"  # "auto" | "always" | "never"
+# "auto": the fused Pallas kernel serves float stores on TPU backends; the
+# XLA streaming path remains the reference engine (every dtype/metric lane)
+# and the fallback for CPU, int/sq8 stores, and fp32 stores when exact-fp32
+# ("highest") matmuls are requested (the kernel's top precision is bf16_3x,
+# the same class as the XLA lane's HIGH).
+use_pallas: str = "auto"  # "auto" | "always" | "never"
 
 # fp32 matmul precision on the MXU: "highest" = exact fp32 (bf16_6x, six
 # systolic passes); "high" = bf16_3x (~1e-5 relative error, 2x the
@@ -34,8 +36,11 @@ build_scan_batches: int = 64  # batches fused per build_scan dispatch (bulk)
 build_reverse_cap: int = 16  # new back-edges joining one row's re-prune
 build_beam_expand: int = 4  # candidates popped per construction-beam iteration
 # bf16 navigation shadow for fp32 stores: construction beams gather half the
-# bytes (random row gathers are the build bottleneck); exact fp32 rows still
-# drive pruning anchors and query scoring.
+# bytes (random row gathers are the build bottleneck). Candidate RANKING
+# during construction uses the shadow (~1e-3 perturbation of near-ties); the
+# diversity-prune keep/discard compare recomputes its anchor leg in fp32
+# from the gathered rows (precision-consistent with the fp32 pair matrix),
+# and query scoring is always exact.
 build_nav_bf16: bool = True
 
 # Beam-search iteration budget: max_iters = factor * ef + base. This is the
@@ -44,16 +49,32 @@ build_nav_bf16: bool = True
 # completeness on adversarial graphs.
 beam_iter_factor: int = 8
 beam_iter_base: int = 64
-pallas_tile_n: int = 8192
+# Timeout-aware queries run as bounded device segments with the user's
+# timeout callback polled between dispatches (the in-flight analog of the
+# reference's per-hop VECSIM_TIMEOUT): rows per BF scan segment / beam
+# iterations per HNSW search segment.
+timeout_poll_rows: int = 1 << 18
+timeout_poll_iters: int = 32
+pallas_tile_n: int = 4096
+# "auto" hands k > pallas_max_k to the XLA streaming path: the kernel's
+# multipass k>128 chain is exact but its O(k) in-VMEM merge makes it slower
+# than XLA's sort-based selection there (measured 2.6 s vs 1.8 s per 1024 x
+# 1M batch at k=512); "always" still forces the multipass kernel.
 pallas_max_k: int = 128
 
 
-def pallas_enabled(kind: str, k: int, capacity: int) -> bool:
+def pallas_enabled(kind: str, k: int, capacity: int, dtype=None) -> bool:
     if use_pallas == "never":
         return False
     if kind != "float":
         return False
     if capacity % min(pallas_tile_n, capacity) != 0:
+        return False
+    if dtype is not None and jnp.dtype(dtype) == jnp.float32 and (
+        fp32_matmul_precision == "highest"
+    ):
+        # The kernel's top in-MXU precision is bf16_3x (== XLA HIGH); exact
+        # fp32 requests stay on the XLA path.
         return False
     if use_pallas == "always":
         return True

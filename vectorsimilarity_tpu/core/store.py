@@ -83,6 +83,7 @@ class BlockStore:
         self.block_size = block_size or DEFAULT_BLOCK_SIZE
         self.count = 0
         self.capacity = 0
+        self.sharding = None  # NamedSharding: rows spread over a mesh axis
         self.host: dict[str, np.ndarray] = {}
         self._device: dict[str, jax.Array] = {}
         # Per-field dirty rows: a link update must not re-upload the (much
@@ -113,6 +114,17 @@ class BlockStore:
         need = self.count + extra
         if need > self.capacity:
             self._resize(_bucket_capacity(need, self.block_size))
+
+    def add_field(self, name: str, spec: FieldSpec) -> None:
+        """Register an extra SoA field after construction (e.g. the tiered
+        frontend's per-row op-id column). Swap-with-last deletion and device
+        sync treat it like any constructor-time field."""
+        assert name not in self.fields
+        self.fields[name] = spec
+        arr = np.full((self.capacity, *spec.shape), spec.fill, dtype=spec.dtype)
+        self.host[name] = arr
+        self._dirty_rows[name] = set()
+        self._device_capacity = -1  # force a full re-upload on next sync
 
     def maybe_shrink(self) -> None:
         """Shrink capacity when count has dropped far below the bucket."""
@@ -179,9 +191,14 @@ class BlockStore:
             return host_rows
 
         if self._device_capacity != self.capacity:
-            # Capacity bucket changed: full upload.
+            # Capacity bucket changed: full upload (row-sharded over the
+            # mesh when one is configured — capacity buckets are pow2
+            # multiples of the block size, so any pow2 mesh divides evenly).
             for name, spec in self.fields.items():
-                self._device[name] = jnp.asarray(as_dev_dtype(self.host[name], spec))
+                arr = jnp.asarray(as_dev_dtype(self.host[name], spec))
+                if self.sharding is not None:
+                    arr = jax.device_put(arr, self._row_sharding(arr.ndim))
+                self._device[name] = arr
             self._device_capacity = self.capacity
             for dset in self._dirty_rows.values():
                 dset.clear()
@@ -228,6 +245,27 @@ class BlockStore:
         self._dirty_from = self.count
         return dict(self._device)
 
+    def set_sharding(self, mesh, axis: str) -> None:
+        """Row-shard the device copy over ``mesh[axis]`` (multi-chip flat
+        scan, SURVEY §2 TPU-native equivalent (b)). Takes effect with a full
+        re-placement on the next ``device_arrays`` sync; subsequent grows
+        re-shard automatically."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        assert isinstance(mesh, Mesh)
+        n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+        assert self.capacity % n == 0, "capacity bucket must divide the mesh"
+        self._mesh, self._axis = mesh, axis
+        self.sharding = NamedSharding(mesh, PartitionSpec(axis))
+        self._device_capacity = -1  # force re-placement
+
+    def _row_sharding(self, ndim: int):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(
+            self._mesh, PartitionSpec(self._axis, *([None] * (ndim - 1)))
+        )
+
     def adopt_device(self, arrays: dict[str, jax.Array], count: int) -> None:
         """Bulk-load device-resident data as the compute copy.
 
@@ -245,9 +283,15 @@ class BlockStore:
         self.count = count
         for name, spec in self.fields.items():
             if name in arrays:
-                self._device[name] = arrays[name]
+                arr = arrays[name]
+                if self.sharding is not None:
+                    arr = jax.device_put(arr, self._row_sharding(arr.ndim))
+                self._device[name] = arr
             else:
-                self._device[name] = jnp.zeros((cap, *spec.shape), dtype=spec.device_dtype)
+                z = jnp.zeros((cap, *spec.shape), dtype=spec.device_dtype)
+                if self.sharding is not None:
+                    z = jax.device_put(z, self._row_sharding(z.ndim))
+                self._device[name] = z
         self._device_capacity = cap
         for dset in self._dirty_rows.values():
             dset.clear()

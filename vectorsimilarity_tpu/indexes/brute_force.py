@@ -53,6 +53,25 @@ class BruteForceIndex(DeviceVectorIndex):
             initial_capacity=params.initialCapacity,
         )
         self.params = params
+        self.mesh = None  # multi-chip row-sharded mode (to_sharded)
+
+    def to_sharded(self, mesh) -> "BruteForceIndex":
+        """Switch the index to multi-chip mode: the store's device copy is
+        row-sharded over ``mesh`` and top-k queries run as a shard-local
+        fused scan + one k-row ``all_gather`` merge riding ICI
+        (``parallel.sharding.sharded_topk`` — SURVEY §2 TPU-native
+        equivalent (b); the reference has no multi-node story). add/delete
+        keep full swap-with-last semantics: row writes sync to the owning
+        shard, capacity growth re-shards. Single-value only (the per-label
+        slot scatter-min is not sharded yet)."""
+        from ..parallel.sharding import AXIS
+
+        assert not self.multi, "sharded mode supports single-value indexes"
+        with self._lock:
+            self.mesh = mesh
+            self.store.set_sharding(mesh, AXIS)
+            self.store.device_arrays()  # place now
+        return self
 
     # ------------------------------------------------------------------
     # Write path
@@ -78,6 +97,27 @@ class BruteForceIndex(DeviceVectorIndex):
             idx = int(self.store.append(rows)[0])
             self.labels.add(label, idx)
             return 1
+
+    def add_vector_batch(self, vecs: np.ndarray, labels) -> int:
+        """Bulk insert: fresh single-value labels append in ONE store batch
+        (one preprocess dispatch + one device sync); overwrites and
+        multi-value fall back to per-vector semantics."""
+        vecs = np.atleast_2d(np.asarray(vecs))
+        labels = [int(l) for l in labels]
+        with self._lock:
+            fresh = (
+                not self.multi
+                and len(set(labels)) == len(labels)
+                and not any(l in self.labels for l in labels)
+            )
+            if fresh:
+                rows = self.preprocess_storage(vecs)
+                rows["label"] = np.asarray(labels, dtype=np.int64)
+                ids = self.store.append(rows)
+                for l, i in zip(labels, ids):
+                    self.labels.add(l, int(i))
+                return len(labels)
+        return sum(self.add_vector(v, l) for v, l in zip(vecs, labels))
 
     def delete_vector(self, label: int) -> int:
         with self._lock:
@@ -127,9 +167,9 @@ class BruteForceIndex(DeviceVectorIndex):
         q, qnorms = self.preprocess_queries(queries)
         with self._lock:
             if self.multi:
-                out = self._topk_multi(q, qnorms, k, nq)
+                out = self._topk_multi(q, qnorms, k, nq, budget)
             else:
-                out = self._topk_single(q, qnorms, k, nq)
+                out = self._topk_single(q, qnorms, k, nq, budget)
         if budget.expired():
             for r in out:
                 r.code = VecSimQueryReplyCode.TimedOut
@@ -143,7 +183,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], bpad - nq)])
         return q, qnorms
 
-    def search_knn_device(self, qd, k: int, qn=None):
+    def search_knn_device(self, qd, k: int, *, qn=None):
         """Device-array top-k for device-resident query pipelines
         (parallels ``HNSWIndex.search_knn_device``): ``qd`` must already be
         preprocessed (normalized for float cosine; ``qn`` = query norms for
@@ -156,7 +196,16 @@ class BruteForceIndex(DeviceVectorIndex):
             count = self.store.count
             kpad = min(pow2_bucket(min(k, max(count, 1))), self.store.capacity)
             dev = self.store.device_arrays()
-            if config.pallas_enabled(self.store_kind, kpad, self.store.capacity):
+            if self.mesh is not None:
+                from ..parallel.sharding import sharded_topk
+
+                return sharded_topk(
+                    qd, self.store_tuple(dev), jnp.int32(count), kpad,
+                    metric=self.metric, kind=self.store_kind, mesh=self.mesh,
+                    query_norms=qn,
+                )
+            if config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
+                                     self.store.fields["data"].device_dtype):
                 from ..ops.pallas.bf_topk import pallas_topk
 
                 data, sqn = self.store_tuple(dev)
@@ -176,7 +225,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 query_norms=qn,
             )
 
-    def _topk_single(self, q, qnorms, k: int, nq: int) -> list[QueryReply]:
+    def _topk_single(self, q, qnorms, k: int, nq: int, budget=None) -> list[QueryReply]:
         from .. import config
 
         count = self.store.count
@@ -184,7 +233,25 @@ class BruteForceIndex(DeviceVectorIndex):
         kpad = min(pow2_bucket(kk), self.store.capacity)
         q, qnorms = self._padded_queries(q, qnorms, nq)
         dev = self.store.device_arrays()
-        if config.pallas_enabled(self.store_kind, kpad, self.store.capacity):
+        if self.mesh is not None:
+            from ..parallel.sharding import sharded_topk
+
+            dists, ids = sharded_topk(
+                jnp.asarray(q), self.store_tuple(dev), jnp.int32(count), kpad,
+                metric=self.metric, kind=self.store_kind, mesh=self.mesh,
+                query_norms=None if qnorms is None else jnp.asarray(qnorms),
+            )
+        elif budget is not None and budget.ctx is not None:
+            # Segmented scan: one bounded device dispatch per segment with a
+            # timeout poll in between — the in-flight analog of the
+            # reference's per-vector VECSIM_TIMEOUT check
+            # (brute_force.h:265). Stops with partial results (a scanned
+            # prefix) once the callback fires.
+            dists, ids = self._topk_single_segmented(
+                jnp.asarray(q), qnorms, dev, count, kpad, budget
+            )
+        elif config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
+                                   self.store.fields["data"].device_dtype):
             from ..ops.pallas.bf_topk import pallas_topk
 
             data, sqn = self.store_tuple(dev)
@@ -213,7 +280,31 @@ class BruteForceIndex(DeviceVectorIndex):
             out.append(make_reply(id_to_label[ids[b][valid]], dists[b][valid]))
         return out
 
-    def _topk_multi(self, q, qnorms, k: int, nq: int) -> list[QueryReply]:
+    def _topk_single_segmented(self, qd, qnorms, dev, count, kpad, budget):
+        from .. import config
+
+        chunk = max(_SCAN_CHUNK, kpad)
+        n_chunks = max(1, -(-self.store.capacity // chunk))
+        seg = max(1, config.timeout_poll_rows // chunk)
+        best = None
+        store = self.store_tuple(dev)
+        qn = None if qnorms is None else jnp.asarray(qnorms)
+        for s0 in range(0, n_chunks, seg):
+            best = streaming_topk(
+                qd, store, jnp.int32(count), kpad,
+                metric=self.metric, kind=self.store_kind, chunk=chunk,
+                query_norms=qn, seg_chunks=seg, start_chunk=jnp.int32(s0),
+                best_init=best,
+            )
+            # Force the segment to finish before polling (async dispatch
+            # would let the host loop race ahead of device time; a host
+            # read is the reliable barrier on relay backends).
+            _ = np.asarray(best[0][:1, :1])
+            if budget.expired():
+                break
+        return best
+
+    def _topk_multi(self, q, qnorms, k: int, nq: int, budget=None) -> list[QueryReply]:
         slot_cap = pow2_bucket(max(self.labels.num_slots, 1))
         q, qnorms = self._padded_queries(q, qnorms, nq)
         dev = self.store.device_arrays()
@@ -235,6 +326,13 @@ class BruteForceIndex(DeviceVectorIndex):
             dd, ss = topk_by_slot(scores, dev["slot"], slot_cap, kpad)
             d_parts.append(np.asarray(dd))
             s_parts.append(np.asarray(ss))
+            if budget is not None and budget.expired():
+                # Partial results: queries not yet scored get empty rows.
+                pad = len(q) - len(np.concatenate(d_parts))
+                if pad > 0:
+                    d_parts.append(np.full((pad, kpad), np.inf, np.float32))
+                    s_parts.append(np.full((pad, kpad), -1, np.int64))
+                break
         dists = np.concatenate(d_parts)[:nq]
         slot_ids = np.concatenate(s_parts)[:nq]
         out = []

@@ -522,14 +522,22 @@ class HNSWIndex(DeviceVectorIndex):
                 self.labels.label_to_id = {int(l): i for i, l in enumerate(labs)}
 
             ucap = _bucket_capacity(max(n_up, 1), self.upper.block_size)
+            vec_pad = np.full(ucap, -1, dtype=np.int32)
+            vec_pad[:n_up] = upper_nodes
+            # 'vec' is adopted alongside the link arrays so device and host
+            # agree from the start — a later bulk compaction reads the
+            # device copy (`_compact_stores`), which would otherwise hold
+            # the adopt-time zeros.
             self.upper.adopt_device(
                 {
                     "links": jnp.full((ucap, self.lmax, self.M), -1, dtype=jnp.int32),
                     "nlinks": jnp.zeros((ucap, self.lmax), dtype=jnp.int32),
+                    "vec": jnp.asarray(vec_pad),
                 },
                 count=n_up,
             )
             self.upper.host["vec"][:n_up] = upper_nodes
+            self.upper._host_stale.discard("vec")  # host mirror already exact
 
             # --- fused construction: scan segments + pow2 tail ---
             dev, udev, ctx = self._device_ctx(nav=True)
@@ -1170,26 +1178,84 @@ class HNSWIndex(DeviceVectorIndex):
             bd, bi = self._device_search(qd, qn, k, ef)
             return np.asarray(bd), np.asarray(bi)
 
-    def _device_search(self, qd, qn, k: int, ef: int):
+    def _device_search(
+        self, qd, qn, k: int, ef: int,
+        *, init_state=None, iter_budget=None, return_state=False,
+    ):
         count = self.store.count
         bpad = qd.shape[0]
         dev, udev, ctx = self._device_ctx()
-        ep = self.entry_id
-        cur = jnp.full((bpad,), ep, dtype=jnp.int32)
-        cur_d = dists_to_ids(
-            qd, jnp.full((bpad, 1), ep, dtype=jnp.int32), ctx,
-            metric=self.metric, kind=self.store_kind, q_norm=qn,
-        )[:, 0]
-        for l in range(self.max_level, 0, -1):
-            cur, cur_d = greedy_level(
-                qd, ctx, udev["links"], dev["upper_row"], cur, cur_d,
-                jnp.int32(l), metric=self.metric, kind=self.store_kind, q_norm=qn,
-            )
+        if init_state is None:
+            ep = self.entry_id
+            cur = jnp.full((bpad,), ep, dtype=jnp.int32)
+            cur_d = dists_to_ids(
+                qd, jnp.full((bpad, 1), ep, dtype=jnp.int32), ctx,
+                metric=self.metric, kind=self.store_kind, q_norm=qn,
+            )[:, 0]
+            for l in range(self.max_level, 0, -1):
+                cur, cur_d = greedy_level(
+                    qd, ctx, udev["links"], dev["upper_row"], cur, cur_d,
+                    jnp.int32(l), metric=self.metric, kind=self.store_kind, q_norm=qn,
+                )
+        else:
+            # Resume: entry args are placeholders (only shapes matter).
+            cur = jnp.zeros((bpad,), dtype=jnp.int32)
+            cur_d = jnp.zeros((bpad,), dtype=jnp.float32)
         ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(count), 1))
         return beam_search(
             qd, ctx, dev["links0"], None, cur, cur_d, self.store.capacity,
             ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn,
+            init_state=init_state, return_state=return_state,
+            iter_budget=iter_budget,
         )
+
+    def _pad_queries_device(self, queries: np.ndarray):
+        q, qnorms = self.preprocess_queries(queries)
+        nq = len(q)
+        bpad = pow2_bucket(nq)
+        if bpad != nq:
+            q = np.concatenate([q, np.repeat(q[-1:], bpad - nq, axis=0)])
+            if qnorms is not None:
+                qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], bpad - nq)])
+        return jnp.asarray(q), None if qnorms is None else jnp.asarray(qnorms), nq
+
+    def _search_knn_segmented(self, queries: np.ndarray, k: int, ef: int, budget):
+        """Beam search as bounded device segments with the timeout callback
+        polled between dispatches (in-flight VECSIM_TIMEOUT analog,
+        hnsw.h:1923). Returns (dists, ids, completed) — ``completed`` False
+        means the deadline fired mid-search and the beam so far is a
+        partial result."""
+        from .. import config
+
+        with self._lock:
+            qd, qn, nq = self._pad_queries_device(queries)
+            seg = max(config.timeout_poll_iters, 1)
+            total = max(config.beam_iter_factor * ef + config.beam_iter_base, 64)
+            state, completed = None, False
+            bd = bi = None
+            for _ in range(-(-total // seg)):
+                bd, bi, state, done, _ = self._device_search(
+                    qd, qn, k, ef,
+                    init_state=state, iter_budget=jnp.int32(seg),
+                    return_state=True,
+                )
+                completed = bool(np.asarray(done))  # also the device barrier
+                if completed or budget.expired():
+                    break
+            return np.asarray(bd)[:nq], np.asarray(bi)[:nq], completed
+
+    def search_resumable(self, queries: np.ndarray, k: int, ef: int, state=None):
+        """Resumable beam search for deep paging (the reference batch
+        iterator's persisted frontier, hnsw_batch_iterator.h:94,206-249):
+        pass the returned ``state`` back with a larger ``ef`` to continue
+        expansion without re-visiting nodes. State is invalidated by any
+        index mutation (capacity/graph changes)."""
+        with self._lock:
+            qd, qn, nq = self._pad_queries_device(queries)
+            bd, bi, state, _, _ = self._device_search(
+                qd, qn, k, ef, init_state=state, return_state=True
+            )
+            return np.asarray(bd)[:nq], np.asarray(bi)[:nq], state
 
     def topk_query(
         self, query: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
@@ -1209,7 +1275,13 @@ class HNSWIndex(DeviceVectorIndex):
         ef = self._effective_ef(k, params)
         # Tombstone allowance: flagged nodes are filtered post-search.
         ef += min(self.num_marked_deleted, ef)
-        dists, ids = self.search_knn(np.atleast_2d(queries), k, ef)
+        completed = True
+        if budget.ctx is not None:
+            dists, ids, completed = self._search_knn_segmented(
+                np.atleast_2d(queries), k, ef, budget
+            )
+        else:
+            dists, ids = self.search_knn(np.atleast_2d(queries), k, ef)
         out = []
         flags = self.store.host["flags"]
         id_to_label = self.store.host["label"]
@@ -1231,6 +1303,9 @@ class HNSWIndex(DeviceVectorIndex):
                 out.append(make_reply(labels[keep], row_d[keep]))
             else:
                 out.append(make_reply(labels[:k], row_d[:k]))
+        # ``completed`` False means the callback cut the beam mid-search;
+        # the iteration-cap case without an expired callback keeps OK (same
+        # as the unsegmented path's max_iters bound).
         if budget.expired():
             for r in out:
                 r.code = VecSimQueryReplyCode.TimedOut

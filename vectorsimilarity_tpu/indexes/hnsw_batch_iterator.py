@@ -1,11 +1,15 @@
 """HNSW batch iterator — resumable frontier semantics.
 
 Reference: ``hnsw_batch_iterator.h:21-267`` persists the beam frontier and
-spillover heap across calls. The TPU re-design keeps a host-side cache of
-scored-but-unserved results and re-runs the jitted beam with a doubled ef
-only when the cache runs dry — same contract (batches in decreasing quality
-until depletion), no device state carried between calls. When ef reaches the
-index size the graph has been exhausted and the iterator depletes.
+spillover heap across calls. The TPU re-design carries the device beam state
+``(beam, expanded-flags, visited bitmap)`` across refills via
+``HNSWIndex.search_resumable``: when the served cache runs dry the beam
+RESUMES at a doubled ef with the carried visited set, so deep paging expands
+every node once (the reference's persisted candidate heap + spillover,
+``hnsw_batch_iterator.h:94,206-249``). Index mutations invalidate the carried
+state (detected by a store snapshot) and fall back to a fresh search — the
+same contract as the reference, which also assumes a stable index per
+iterator.
 """
 
 from __future__ import annotations
@@ -36,6 +40,8 @@ class HNSWBatchIterator:
         self._seen: set[int] = set()  # returned ∪ pending labels
         self._ef = self._base_ef
         self._exhausted = False
+        self._state = None  # carried device beam state (frontier + visited)
+        self._snapshot = None  # (count, capacity, max_level) the state is valid for
 
     def is_depleted(self) -> bool:
         if self._pending:
@@ -45,10 +51,20 @@ class HNSWBatchIterator:
         return self._exhausted
 
     def _search_more(self) -> None:
-        """One search pass at the current ef; stash fresh labels in order."""
+        """One search pass at the current ef; stash fresh labels in order.
+
+        Resumes the carried beam state when the index is unchanged —
+        otherwise (mutation between batches) restarts a fresh search at the
+        current ef, keeping the already-served label set."""
         idx = self.index
+        snap = (idx.store.count, idx.store.capacity, idx.max_level)
+        if snap != self._snapshot:
+            self._state = None
+            self._snapshot = snap
         ef = min(self._ef, max(idx.index_size, 1))
-        dists, ids = idx.search_knn(self.query, min(ef, idx.index_size), ef)
+        dists, ids, self._state = idx.search_resumable(
+            self.query, min(ef, idx.index_size), ef, self._state
+        )
         row_i, row_d = ids[0], dists[0]
         valid = (row_i >= 0) & np.isfinite(row_d)
         row_i, row_d = row_i[valid], row_d[valid]

@@ -103,6 +103,22 @@ class TieredHNSWIndex(VecSimIndexBase):
         self._pending_swaps = 0  # tombstoned nodes awaiting physical removal
         self.direct_hnsw_insertions = 0
         self._glock = threading.RLock()
+        # Migration journal (the svs_tiered.h:644-770 idea): the backend
+        # batch-build runs OUTSIDE _glock so reads/writes aren't stalled for
+        # a multi-second device dispatch; deletes/overwrites that hit a
+        # label while its copies are mid-copy are recorded in _superseded
+        # and applied when the migration completes.
+        self._migrate_lock = threading.Lock()  # one migration at a time
+        self._inflight: dict[int, int] = {}  # label -> copies mid-migration
+        self._superseded: set[int] = set()
+        self._op_counter = 0
+        if self.frontend.multi:
+            # Per-row insert-op id: migration removes EXACTLY the flat row
+            # its job inserted (duplicate blobs are indistinguishable by
+            # content; rows move under swap-with-last).
+            from ..core.store import FieldSpec
+
+            self.frontend.store.add_field("opid", FieldSpec((), np.int64, fill=-1))
 
     def _make_backend(self, primary):
         from .factory import _with_defaults_hnsw
@@ -133,56 +149,82 @@ class TieredHNSWIndex(VecSimIndexBase):
     def _execute_insert_job(self, job: AsyncJob) -> None:
         from .. import config
 
-        with self._glock:
-            if not job.is_valid:
-                return
-            # Coalesce: this job plus every other pending valid insert job
-            # migrates in ONE backend batch — the queue is the natural batch
-            # (the reference moves one vector per job, hnsw_tiered.h:547-606,
-            # which would cap async ingest at the single-insert rate). Later
-            # queued jobs become no-ops via is_valid.
-            batch = [job]
-            cap = max(config.build_batch, 1)
-            for jobs in self._insert_jobs.values():
-                for j in jobs:
-                    if j.is_valid and j is not job:
-                        batch.append(j)
-                        if len(batch) >= cap:
-                            break
-                if len(batch) >= cap:
-                    break
-            labels = [j.payload[0] for j in batch]
-            blobs = np.stack([j.payload[1].reshape(-1) for j in batch])
+        with self._migrate_lock:
+            with self._glock:
+                if not job.is_valid:
+                    return
+                # Coalesce: this job plus every other pending valid insert
+                # job migrates in ONE backend batch — the queue is the
+                # natural batch (the reference moves one vector per job,
+                # hnsw_tiered.h:547-606, which would cap async ingest at the
+                # single-insert rate). Later queued jobs become no-ops via
+                # is_valid.
+                batch = [job]
+                cap = max(config.build_batch, 1)
+                for jobs in self._insert_jobs.values():
+                    for j in jobs:
+                        if j.is_valid and j is not job:
+                            batch.append(j)
+                            if len(batch) >= cap:
+                                break
+                    if len(batch) >= cap:
+                        break
+                for j in batch:
+                    label = j.payload[0]
+                    jobs = self._insert_jobs.get(label)
+                    if jobs and j in jobs:
+                        jobs.remove(j)
+                        if not jobs:
+                            del self._insert_jobs[label]
+                    j.is_valid = False
+                    self._inflight[label] = self._inflight.get(label, 0) + 1
+                labels = [j.payload[0] for j in batch]
+                blobs = np.stack([j.payload[1].reshape(-1) for j in batch])
+            # The device-side graph build runs OUTSIDE the global lock (the
+            # reference worker holds only mainIndexGuard here,
+            # hnsw_tiered.h:444-511): queries keep flowing and see these
+            # vectors in the flat tier until the completion step below.
+            # Mid-copy deletes/overwrites land in _superseded.
             self.backend.add_vector_batch(blobs, labels)
-            for j in batch:
-                label = j.payload[0]
-                jobs = self._insert_jobs.get(label)
-                if jobs and j in jobs:
-                    jobs.remove(j)
-                    if not jobs:
-                        del self._insert_jobs[label]
-                j.is_valid = False
-            for j in batch:
-                self._remove_one_from_flat(j.payload[0], j.payload[1])
+            with self._glock:
+                for j in batch:
+                    self._remove_one_from_flat(j.payload[0], j.payload[2])
+                for label in labels:
+                    left = self._inflight[label] - 1
+                    if left:
+                        self._inflight[label] = left
+                    else:
+                        del self._inflight[label]
+                for label in set(labels) & self._superseded:
+                    if label not in self._inflight:
+                        self._superseded.discard(label)
+                        # Deleted/overwritten mid-copy: the copies we just
+                        # migrated are the label's only live backend rows
+                        # (direct inserts hold _migrate_lock), so tombstone
+                        # them now — the journal replay.
+                        if label in self.backend.labels:
+                            self._mark_delete_backend(label)
 
-    def _remove_one_from_flat(self, label: int, blob: np.ndarray) -> None:
+    def _remove_one_from_flat(self, label: int, opid: int) -> None:
         fe = self.frontend
         if fe.multi:
-            ids = fe.labels.ids_of(label)
-            if not ids:
-                return
-            # Remove the specific row whose data matches this job's blob.
+            # Remove exactly the row this op inserted; a concurrent delete
+            # may have removed it already (journaled path) -> no-op.
             target = None
-            for i in ids:
-                if np.array_equal(fe.store.host["data"][i], fe.preprocess_storage(blob)["data"][0]):
+            for i in fe.labels.ids_of(label):
+                if int(fe.store.host["opid"][i]) == opid:
                     target = i
                     break
             if target is None:
-                target = ids[-1]
+                return
             fe.labels.remove_id(label, target)
             fe._swap_delete_row(target)
             fe.store.maybe_shrink()
         else:
+            if label in self._insert_jobs:
+                # A mid-copy overwrite put a NEWER value in the flat row; it
+                # must stay visible until its own job migrates.
+                return
             fe.delete_vector(label)
 
     # ------------------------------------------------------------------
@@ -191,41 +233,65 @@ class TieredHNSWIndex(VecSimIndexBase):
 
     def add_vector(self, blob: np.ndarray, label: int) -> int:
         blob = np.asarray(blob)
-        with self._glock:
-            if VecSimIndexBase.write_mode == VecSimWriteMode.InPlace:
-                # hnsw_tiered.h:724-741
+        if VecSimIndexBase.write_mode == VecSimWriteMode.InPlace:
+            # hnsw_tiered.h:724-741. Direct backend inserts serialize with
+            # migrations (lock order: _migrate_lock -> _glock) so the
+            # completion journal can reason about the backend label set.
+            with self._migrate_lock, self._glock:
                 deleted = self.delete_vector(label) if not self.backend.multi else 0
                 self.backend.add_vector_batch(blob.reshape(1, -1), [label])
                 self.direct_hnsw_insertions += 1
                 return 1 - deleted if not self.backend.multi else 1
-            if self.frontend.index_size >= self.flat_buffer_limit:
-                # Flat full: write straight into the backend
-                # (hnsw_tiered.h:742-760).
-                ret = 1
-                if not self.backend.multi and self._label_exists(label):
-                    self.delete_vector(label)
-                    ret = 0
-                self.backend.add_vector_batch(blob.reshape(1, -1), [label])
-                self.direct_hnsw_insertions += 1
-                return ret
-            ret = 1
-            if not self.backend.multi:
-                # Overwrite: invalidate pending jobs + purge old copies
-                # (hnsw_tiered.h:766-805).
-                if self._label_exists(label):
-                    ret = 0
-                for j in self._insert_jobs.pop(label, []):
-                    j.is_valid = False
-                if label in self.frontend.labels:
-                    self.frontend.delete_vector(label)
-                if label in self.backend.labels:
-                    self._mark_delete_backend(label)
-            self.frontend.add_vector(blob, label)
-            job = AsyncJob(HNSW_INSERT_VECTOR_JOB, self, (label, np.array(blob, copy=True)))
-            self._insert_jobs.setdefault(label, []).append(job)
-            self._maybe_execute_swaps()
+        with self._glock:
+            flat_full = self.frontend.index_size >= self.flat_buffer_limit
+            if not flat_full:
+                ret, job = self._queue_async_insert(blob, label)
+                self._maybe_execute_swaps()
+        if flat_full:
+            with self._migrate_lock, self._glock:
+                if self.frontend.index_size >= self.flat_buffer_limit:
+                    # Flat full: write straight into the backend
+                    # (hnsw_tiered.h:742-760).
+                    ret = 1
+                    if not self.backend.multi and self._label_exists(label):
+                        self.delete_vector(label)
+                        ret = 0
+                    self.backend.add_vector_batch(blob.reshape(1, -1), [label])
+                    self.direct_hnsw_insertions += 1
+                    return ret
+                # A migration drained the flat buffer while we waited.
+                ret, job = self._queue_async_insert(blob, label)
+                self._maybe_execute_swaps()
         self._submit([job])
         return ret
+
+    def _queue_async_insert(self, blob: np.ndarray, label: int):
+        """Write to the flat tier + queue the insert job. _glock held."""
+        ret = 1
+        if not self.backend.multi:
+            # Overwrite: invalidate pending jobs + purge old copies
+            # (hnsw_tiered.h:766-805).
+            if self._label_exists(label):
+                ret = 0
+            for j in self._insert_jobs.pop(label, []):
+                j.is_valid = False
+            if label in self._inflight:
+                self._superseded.add(label)
+            if label in self.frontend.labels:
+                self.frontend.delete_vector(label)
+            if label in self.backend.labels:
+                self._mark_delete_backend(label)
+        op = self._op_counter
+        self._op_counter += 1
+        self.frontend.add_vector(blob, label)
+        if self.frontend.multi:
+            fe = self.frontend
+            fe.store.host["opid"][fe.store.count - 1] = op
+        job = AsyncJob(
+            HNSW_INSERT_VECTOR_JOB, self, (label, np.array(blob, copy=True), op)
+        )
+        self._insert_jobs.setdefault(label, []).append(job)
+        return ret, job
 
     def delete_vector(self, label: int) -> int:
         with self._glock:
@@ -234,6 +300,10 @@ class TieredHNSWIndex(VecSimIndexBase):
             # (hnsw_tiered.h:823-851).
             for j in self._insert_jobs.pop(label, []):
                 j.is_valid = False
+            if label in self._inflight:
+                # Copies are mid-migration: journal the delete; the
+                # completion step tombstones them once they land.
+                self._superseded.add(label)
             deleted += self.frontend.delete_vector(label)
             if label in self.backend.labels:
                 if VecSimIndexBase.write_mode == VecSimWriteMode.InPlace:
@@ -342,7 +412,7 @@ class TieredHNSWIndex(VecSimIndexBase):
             # Labels may transiently live in both tiers; count unique.
             overlap = sum(
                 1
-                for lab in self._insert_jobs
+                for lab in set(self._insert_jobs) | set(self._inflight)
                 if lab in self.frontend.labels and lab in self.backend.labels
             )
             return self.frontend.index_size + self.backend.index_size - overlap
@@ -386,7 +456,7 @@ class TieredHNSWIndex(VecSimIndexBase):
                 backendCommonInfo=be.commonInfo,
                 frontendCommonInfo=fe.commonInfo,
                 management_layer_memory=4096,
-                backgroundIndexing=bool(self._insert_jobs),
+                backgroundIndexing=bool(self._insert_jobs or self._inflight),
                 bufferLimit=self.flat_buffer_limit,
                 specificTieredBackendInfo={"pendingSwapJobsThreshold": self.swap_job_threshold},
             ),

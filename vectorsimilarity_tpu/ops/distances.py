@@ -296,7 +296,9 @@ def _lex_topk(d: jax.Array, k: int):
     return jnp.stack(vals, axis=1), jnp.stack(poss, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric", "kind"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "metric", "kind", "seg_chunks")
+)
 def streaming_topk(
     queries: jax.Array,
     store: tuple,
@@ -307,6 +309,9 @@ def streaming_topk(
     kind: str,
     chunk: int = 1 << 16,
     query_norms: jax.Array | None = None,
+    seg_chunks: int | None = None,
+    start_chunk: jax.Array | None = None,
+    best_init: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN over a device-resident store without materializing [B, N].
 
@@ -322,11 +327,20 @@ def streaming_topk(
       - "sq8":   (codes[N,D], vmin[N], delta[N], xsumsq[N] or None)
     Rows with index >= count are masked to +inf. Returned ids of unfilled
     slots (k > count) are -1 with +inf distance.
+
+    Timeout segmentation (the in-flight analog of the reference's
+    ``VECSIM_TIMEOUT`` poll per vector, ``brute_force.h:265``): pass
+    ``seg_chunks`` (static segment length) + ``start_chunk`` (traced chunk
+    offset) + ``best_init`` (previous segment's carry) to scan one bounded
+    slice per dispatch; the caller polls its timeout callback between
+    dispatches and stops with partial results.
     """
     B = queries.shape[0]
     N = store[0].shape[0]
     n_chunks = max(1, -(-N // chunk))
     pad_n = n_chunks * chunk
+    if seg_chunks is not None:
+        n_chunks = min(seg_chunks, n_chunks)
 
     def pad_cols(x, fill=0):
         if x is None:
@@ -380,11 +394,17 @@ def streaming_topk(
             best_d, best_i = _merge_topk(best_d, best_i, -neg, local_ids, k)
         return (best_d, best_i), None
 
-    init = (
-        jnp.full((B, k), inf, dtype=jnp.float32),
-        jnp.full((B, k), -1, dtype=jnp.int32),
-    )
-    (best_d, best_i), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
+    if best_init is not None:
+        init = best_init
+    else:
+        init = (
+            jnp.full((B, k), inf, dtype=jnp.float32),
+            jnp.full((B, k), -1, dtype=jnp.int32),
+        )
+    chunks = jnp.arange(n_chunks)
+    if start_chunk is not None:
+        chunks = chunks + start_chunk.astype(jnp.int32)
+    (best_d, best_i), _ = jax.lax.scan(step, init, chunks)
     best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
     return best_d, best_i
 

@@ -233,6 +233,9 @@ def beam_search_impl(
     q_meta: tuple | None = None,
     max_iters: int = 0,
     expand: int = 1,
+    init_state: tuple | None = None,
+    return_state: bool = False,
+    iter_budget: jax.Array | None = None,
 ):
     """Best-first ef-beam search from per-query entry points.
 
@@ -243,6 +246,20 @@ def beam_search_impl(
     E x fewer loop iterations at slightly broader exploration; used by
     construction, where per-iteration sort/merge overheads dominate.
     Inactive rows (``active=False``) do no work and return empty beams.
+
+    ``init_state``/``return_state`` make the search RESUMABLE — the TPU
+    analog of the reference batch iterator's persisted candidate heap +
+    spillover (hnsw_batch_iterator.h:94,206-249): state is
+    ``(beam_d [B, W'], beam_i, beam_e, visited)`` from a previous call
+    (possibly at a smaller ef); resuming continues expansion with the
+    carried visited bitmap, so deep paging expands every node once.
+
+    ``iter_budget`` (traced scalar) caps loop iterations below the static
+    ``max_iters`` without recompiling — the in-kernel deadline hook (the
+    reference checks VECSIM_TIMEOUT every hop, hnsw.h:1923). When
+    ``return_state`` is set the trailing outputs are
+    ``(state..., completed)`` where ``completed`` is False iff the budget
+    expired before the beam converged.
     """
     B = q.shape[0]
     M = links.shape[-1]
@@ -259,45 +276,58 @@ def beam_search_impl(
     # matters most at small ef, where losing evicted candidates starves the
     # expansion frontier).
     W = ef + max(min(ef, 128), 16)
+    W32 = (visited_cap + 31) // 32
+    one = jnp.uint32(1)
 
     if active is None:
         active_rows = jnp.ones((B,), dtype=bool)
     else:
         active_rows = active
-    entry_ids = jnp.where(active_rows, entry_ids.astype(jnp.int32), -1)
-    beam_d = jnp.full((B, W), jnp.inf, dtype=jnp.float32)
-    beam_i = jnp.full((B, W), -1, dtype=jnp.int32)
-    beam_e = jnp.zeros((B, W), dtype=bool)
-    beam_d = beam_d.at[:, 0].set(
-        jnp.where(active_rows, entry_dists.astype(jnp.float32), jnp.inf)
-    )
-    beam_i = beam_i.at[:, 0].set(entry_ids)
-    # Visited set as a BITMAP ([B, cap/32] uint32, 1 bit per node) — the
-    # byte-map version was [B, cap] (10 GB at 10M nodes x B=1024; the
-    # reference's per-query tag array is visited_nodes_handler.h:16-77).
-    # Bit sets use scatter-ADD, which equals OR here: neighbor ids within a
-    # row are unique (graph invariant) and already-set bits are masked out
-    # by ~seen before the scatter.
-    W32 = (visited_cap + 31) // 32
-    one = jnp.uint32(1)
-    visited = jnp.zeros((B, W32), dtype=jnp.uint32)
-    # Inactive/absent entries scatter at W32 (truly out-of-bounds, hence
-    # dropped) — a -1 index would wrap to the last column.
-    visited = visited.at[
-        jnp.arange(B), jnp.where(entry_ids >= 0, entry_ids >> 5, W32)
-    ].add(
-        jnp.left_shift(one, (jnp.maximum(entry_ids, 0) & 31).astype(jnp.uint32)),
-        mode="drop",
-    )
+    if init_state is not None:
+        beam_d, beam_i, beam_e, visited = init_state
+        w0 = beam_d.shape[1]
+        if w0 < W:
+            beam_d = jnp.pad(beam_d, ((0, 0), (0, W - w0)), constant_values=jnp.inf)
+            beam_i = jnp.pad(beam_i, ((0, 0), (0, W - w0)), constant_values=-1)
+            beam_e = jnp.pad(beam_e, ((0, 0), (0, W - w0)))
+        elif w0 > W:
+            beam_d, beam_i, beam_e = beam_d[:, :W], beam_i[:, :W], beam_e[:, :W]
+    else:
+        entry_ids = jnp.where(active_rows, entry_ids.astype(jnp.int32), -1)
+        beam_d = jnp.full((B, W), jnp.inf, dtype=jnp.float32)
+        beam_i = jnp.full((B, W), -1, dtype=jnp.int32)
+        beam_e = jnp.zeros((B, W), dtype=bool)
+        beam_d = beam_d.at[:, 0].set(
+            jnp.where(active_rows, entry_dists.astype(jnp.float32), jnp.inf)
+        )
+        beam_i = beam_i.at[:, 0].set(entry_ids)
+        # Visited set as a BITMAP ([B, cap/32] uint32, 1 bit per node) — the
+        # byte-map version was [B, cap] (10 GB at 10M nodes x B=1024; the
+        # reference's per-query tag array is visited_nodes_handler.h:16-77).
+        # Bit sets use scatter-ADD, which equals OR here: neighbor ids within
+        # a row are unique (graph invariant) and already-set bits are masked
+        # out by ~seen before the scatter.
+        visited = jnp.zeros((B, W32), dtype=jnp.uint32)
+        # Inactive/absent entries scatter at W32 (truly out-of-bounds, hence
+        # dropped) — a -1 index would wrap to the last column.
+        visited = visited.at[
+            jnp.arange(B), jnp.where(entry_ids >= 0, entry_ids >> 5, W32)
+        ].add(
+            jnp.left_shift(one, (jnp.maximum(entry_ids, 0) & 31).astype(jnp.uint32)),
+            mode="drop",
+        )
     done = ~active_rows
     rows_b = jnp.arange(B)
+    cap_iters = jnp.int32(max_iters)
+    if iter_budget is not None:
+        cap_iters = jnp.minimum(cap_iters, iter_budget.astype(jnp.int32))
 
     E = expand
     C = E * M  # new-candidate block width per iteration
 
     def cond(state):
         _, _, _, _, done, it = state
-        return jnp.logical_and(~jnp.all(done), it < max_iters)
+        return jnp.logical_and(~jnp.all(done), it < cap_iters)
 
     def body(state):
         beam_d, beam_i, beam_e, visited, done, it = state
@@ -369,13 +399,22 @@ def beam_search_impl(
         )
 
     state = (beam_d, beam_i, beam_e, visited, done, jnp.int32(0))
-    beam_d, beam_i, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    beam_d, beam_i, beam_e, visited, done, it = jax.lax.while_loop(cond, body, state)
+    if return_state:
+        completed = jnp.all(done)
+        return (
+            beam_d[:, :ef], beam_i[:, :ef],
+            (beam_d, beam_i, beam_e, visited), completed, it,
+        )
     return beam_d[:, :ef], beam_i[:, :ef]
 
 
 beam_search = functools.partial(
     jax.jit,
-    static_argnames=("visited_cap", "ef", "metric", "kind", "max_iters", "expand"),
+    static_argnames=(
+        "visited_cap", "ef", "metric", "kind", "max_iters", "expand",
+        "return_state",
+    ),
 )(beam_search_impl)
 beam_search.__doc__ = "Jitted wrapper of beam_search_impl."
 
@@ -429,6 +468,23 @@ def diversity_prune_impl(
         v = vmin[:, :, None] + delta[:, :, None] * v.astype(jnp.float32)
     else:
         v = v.astype(jnp.float32)
+    if kind == "float" and ctx.nav is not None:
+        # Caller distances may come from the bf16 nav shadow; recompute the
+        # anchor->candidate leg exactly from the gathered fp32 rows so the
+        # greedy compare below is precision-consistent with the fp32 pair
+        # matrix (candidate ORDER keeps the caller's nav ranking — a
+        # tie-break-level perturbation only).
+        qf = q.astype(jnp.float32)
+        ipq = jnp.einsum(
+            "bd,bcd->bc", qf, v,
+            preferred_element_type=jnp.float32,
+            precision=float_precision(jnp.float32),
+        )
+        if VecSimMetric(metric) == VecSimMetric.L2:
+            s_d = jnp.sum(qf * qf, axis=-1)[:, None] - 2.0 * ipq + jnp.sum(v * v, axis=-1)
+        else:
+            s_d = 1.0 - ipq
+        s_d = jnp.where(valid, s_d, jnp.inf)
     ip = jnp.einsum(
         "bcd,bed->bce", v, v,
         preferred_element_type=jnp.float32,

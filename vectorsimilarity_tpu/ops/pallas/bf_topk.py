@@ -8,11 +8,29 @@ one read of the data matrix. This is the speed-of-light design for the
 reference's headline benchmark (1M x 768 fp32, BF TopK,
 ``docs/benchmarks.md:60-63``).
 
+Precision: Mosaic lowers an fp32 ``dot_general`` to a SINGLE bf16 MXU pass
+(measured: identical results to an explicit bf16 cast), which is one
+precision class below the XLA engine's HIGH (bf16_3x). The kernel therefore
+does the bf16_3x decomposition explicitly for fp32 inputs:
+
+    a·b ≈ hi(a)·hi(b) + hi(a)·lo(b) + lo(a)·hi(b),  hi = bf16(a),
+                                                    lo = bf16(a - hi)
+
+which matches the XLA lane's error (~1e-5 relative) at 3 bf16-rate passes.
+bf16/fp16 stores take the native single-pass path (exact for bf16, same as
+the XLA lane). fp32 with ``config.fp32_matmul_precision == "highest"`` is
+not supported in-kernel — ``config.pallas_enabled`` gates it off.
+
 Merge strategy: per grid step, candidates better than the current k-th best
 are rare after the first few tiles; the kernel counts them first and only
 runs the O(k) selection passes when the tile actually improves the top-k
 (threshold skip), so the steady-state cost is one matmul + one compare per
 tile.
+
+k > 128 (the reference's BF k=500 config) runs as ⌈k/128⌉ passes over the
+data: each pass excludes everything lexicographically <= the previous pass's
+last (distance, id) via a per-query lower bound — exact because selection
+order within a pass is lexicographic by (distance, id).
 """
 
 from __future__ import annotations
@@ -26,41 +44,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...types import VecSimMetric
 
+PASS_K = 128  # max k per kernel pass (selection buffer width)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(metric: VecSimMetric, k: int, tile_n: int, n_tiles: int, with_sqnorm: bool):
-    metric = VecSimMetric(metric)
+def _split_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
-    def kernel(count_ref, q_ref, qsq_ref, *rest):
+
+def _make_kernel(
+    metric: VecSimMetric,
+    k: int,
+    tile_n: int,
+    n_tiles: int,
+    with_sqnorm: bool,
+    mode: str,  # "bf16_3x" (fp32 store) | "native" (bf16/fp16 store)
+):
+    metric = VecSimMetric(metric)
+    dims = (((1,), (1,)), ((), ()))
+
+    def kernel(count_ref, qh_ref, ql_ref, qsq_ref, lo_d_ref, lo_i_ref, *rest):
         if with_sqnorm:
             data_ref, sqn_ref, outd_ref, outi_ref, best_d, best_i = rest
         else:
             data_ref, outd_ref, outi_ref, best_d, best_i = rest
             sqn_ref = None
         j = pl.program_id(0)
-        B = q_ref.shape[0]
+        B = qh_ref.shape[0]
 
         @pl.when(j == 0)
         def _init():
             best_d[:] = jnp.full_like(best_d, jnp.inf)
             best_i[:] = jnp.full_like(best_i, -1)
 
-        # Scores for this tile: [B, TILE_N] on the MXU.
-        ip = jax.lax.dot_general(
-            q_ref[:],
-            data_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # Score tile [B, TILE_N] on the MXU.
+        if mode == "bf16_3x":
+            dat = data_ref[:]
+            d_hi = dat.astype(jnp.bfloat16)
+            d_lo = (dat - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ip = jax.lax.dot_general(qh_ref[:], d_hi, dims, preferred_element_type=jnp.float32)
+            ip += jax.lax.dot_general(qh_ref[:], d_lo, dims, preferred_element_type=jnp.float32)
+            ip += jax.lax.dot_general(ql_ref[:], d_hi, dims, preferred_element_type=jnp.float32)
+        else:
+            ip = jax.lax.dot_general(
+                qh_ref[:], data_ref[:], dims, preferred_element_type=jnp.float32
+            )
         if metric == VecSimMetric.L2:
             s = qsq_ref[:] - 2.0 * ip + sqn_ref[:].reshape(1, tile_n)
         else:
             s = 1.0 - ip
         gids = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
-        s = jnp.where(gids < count_ref[0], s, jnp.inf)
+        # Mask dead rows and (for multi-pass k>128) everything lex <= the
+        # previous pass's last (distance, id).
+        lo_d = lo_d_ref[:]  # [B, 1]
+        lo_i = lo_i_ref[:]
+        keep = (gids < count_ref[0]) & ((s > lo_d) | ((s == lo_d) & (gids > lo_i)))
+        s = jnp.where(keep, s, jnp.inf)
 
         # Threshold skip: does any candidate beat the current k-th best?
         kth = best_d[:, k - 1].reshape(B, 1)
@@ -68,36 +112,40 @@ def _make_kernel(metric: VecSimMetric, k: int, tile_n: int, n_tiles: int, with_s
 
         @pl.when(improves)
         def _merge():
-            # O(k) selection: extract the global minimum of (best ∪ tile)
-            # k times. Each pass is two VPU row-reductions.
+            # O(k) selection: extract the lexicographic (distance, id)
+            # minimum of (best ∪ tile) k times. Each pass is a few VPU
+            # row-reductions. The EXPLICIT id tie-break matters: the
+            # multipass k>128 chain excludes by (lo_d, lo_i), so equal
+            # distances crossing a pass boundary must be ordered by id or
+            # an id can repeat/vanish across passes (observed on-device
+            # with bf16_3x score ties at 1M rows).
             cur_s = s
             cur_best_d = best_d[:]
             cur_best_i = best_i[:]
             new_d = jnp.zeros((B, k), dtype=jnp.float32)
             new_i = jnp.zeros((B, k), dtype=jnp.int32)
+            BIG = jnp.int32(2**31 - 1)
 
             def step(t, carry):
                 cur_s, cur_best_d, cur_best_i, new_d, new_i = carry
                 bmin = jnp.min(cur_best_d, axis=1)
-                bpos = jnp.argmin(cur_best_d, axis=1)
                 smin = jnp.min(cur_s, axis=1)
-                spos = jnp.argmin(cur_s, axis=1)
-                take_b = bmin <= smin
+                # Lowest id among the row minima of each side.
+                bid = jnp.min(
+                    jnp.where(cur_best_d == bmin[:, None], cur_best_i, BIG), axis=1
+                )
+                sid = jnp.min(jnp.where(cur_s == smin[:, None], gids, BIG), axis=1)
+                take_b = (bmin < smin) | ((bmin == smin) & (bid <= sid))
                 val = jnp.where(take_b, bmin, smin)
-                # One-hot selection instead of gathers (Mosaic-friendly).
-                rowsb = jax.lax.broadcasted_iota(jnp.int32, cur_best_d.shape, 1)
-                maskb = rowsb == bpos[:, None]
-                rowss = jax.lax.broadcasted_iota(jnp.int32, cur_s.shape, 1)
-                masks = rowss == spos[:, None]
-                bid = jnp.sum(jnp.where(maskb, cur_best_i, 0), axis=1)
-                sid = jnp.sum(jnp.where(masks, gids, 0), axis=1)
                 idx = jnp.where(take_b, bid, sid)
                 # One-hot write (scatter is not lowerable in Mosaic).
                 colk = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
                 write = colk == t
                 new_d = jnp.where(write, val[:, None], new_d)
                 new_i = jnp.where(write, idx[:, None], new_i)
-                # Knock out the consumed entry.
+                # Knock out the consumed entry (unique by (value, id)).
+                maskb = (cur_best_d == bmin[:, None]) & (cur_best_i == bid[:, None])
+                masks = (cur_s == smin[:, None]) & (gids == sid[:, None])
                 cur_best_d = jnp.where(take_b[:, None] & maskb, jnp.inf, cur_best_d)
                 cur_s = jnp.where((~take_b)[:, None] & masks, jnp.inf, cur_s)
                 return cur_s, cur_best_d, cur_best_i, new_d, new_i
@@ -116,52 +164,59 @@ def _make_kernel(metric: VecSimMetric, k: int, tile_n: int, n_tiles: int, with_s
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n", "interpret"))
-def pallas_topk(
-    queries: jax.Array,  # [B, D] f32/bf16
-    data: jax.Array,  # [N, D] same dtype, N % tile_n == 0
-    sqnorms: jax.Array | None,  # [N] f32 for L2, None otherwise
-    count: jax.Array,  # live rows
-    k: int,
-    *,
-    metric: VecSimMetric,
-    tile_n: int = 2048,
-    interpret: bool = False,
+def _one_pass(
+    queries, data, sqnorms, count, k, *, metric, tile_n, lo_d, lo_i, interpret
 ):
-    """Exact top-k (smallest distances) with fused scan. Returns
-    (dists [B, k], ids [B, k]) sorted ascending."""
     B, D = queries.shape
     N = data.shape[0]
-    assert N % tile_n == 0, f"N={N} must be padded to tile_n={tile_n}"
     n_tiles = N // tile_n
     metric = VecSimMetric(metric)
     with_sqnorm = metric == VecSimMetric.L2
 
+    if data.dtype == jnp.float32:
+        mode = "bf16_3x"
+        q_hi, q_lo = _split_bf16(queries.astype(jnp.float32))
+    else:
+        mode = "native"
+        q_hi = queries.astype(data.dtype)
+        q_lo = q_hi  # unused lane, keeps the arg list static
     qsq = (
         jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         if with_sqnorm
         else jnp.zeros((B, 1), jnp.float32)
     )
-    kernel = _make_kernel(metric, k, tile_n, n_tiles, with_sqnorm)
+    kernel = _make_kernel(metric, k, tile_n, n_tiles, with_sqnorm, mode)
 
+    rep = lambda j: (0, 0)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # count
-        pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),  # qsq
+        pl.BlockSpec((B, D), rep, memory_space=pltpu.VMEM),  # q hi
+        pl.BlockSpec((B, D), rep, memory_space=pltpu.VMEM),  # q lo
+        pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # qsq
+        pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # lower bound d
+        pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # lower bound i
         pl.BlockSpec((tile_n, D), lambda j: (j, 0), memory_space=pltpu.VMEM),  # data
     ]
-    args = [jnp.asarray([count], dtype=jnp.int32), queries, qsq, data]
+    args = [jnp.asarray([count], dtype=jnp.int32), q_hi, q_lo, qsq, lo_d, lo_i, data]
     if with_sqnorm:
         in_specs.append(pl.BlockSpec((tile_n,), lambda j: (j,), memory_space=pltpu.VMEM))
         args.append(sqnorms.astype(jnp.float32))
+
+    # VMEM allowance: Mosaic's live-range accounting runs well above the
+    # naive sum of buffers (double-buffered operands + merge-loop copies);
+    # measured need at (B=1024, tile=4096, D=768, bf16_3x) is < 100M on a
+    # v5e (128M physical). The limit is an allowance, not an allocation, so
+    # a generous flat value is safe for small shapes too.
+    itemsize = 4 if data.dtype == jnp.float32 else 2
+    budget = 100 * 1024 * 1024
 
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((B, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), rep, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, k), jnp.float32),
@@ -172,16 +227,52 @@ def pallas_topk(
             pltpu.VMEM((B, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * N,
-            bytes_accessed=N * D * data.dtype.itemsize + B * k * 8,
+            flops=2 * B * D * N * (3 if mode == "bf16_3x" else 1),
+            bytes_accessed=N * D * itemsize + B * k * 8,
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(
-            # Data tile (double-buffered) + score tile + selection carries
-            # exceed the 16M default scoped-vmem budget at useful tile sizes.
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=budget),
         interpret=interpret,
     )(*args)
+    return out_d, out_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n", "interpret"))
+def pallas_topk(
+    queries: jax.Array,  # [B, D] f32/bf16/fp16
+    data: jax.Array,  # [N, D] store dtype, N % tile_n == 0
+    sqnorms: jax.Array | None,  # [N] f32 for L2, None otherwise
+    count: jax.Array,  # live rows
+    k: int,
+    *,
+    metric: VecSimMetric,
+    tile_n: int = 4096,
+    interpret: bool = False,
+):
+    """Exact top-k (smallest distances) with fused scan. Returns
+    (dists [B, k], ids [B, k]) sorted ascending; k > 128 runs ⌈k/128⌉
+    lexicographically-chained passes."""
+    B = queries.shape[0]
+    N = data.shape[0]
+    assert N % tile_n == 0, f"N={N} must be padded to tile_n={tile_n}"
+
+    n_passes = -(-k // PASS_K)
+    pass_k = k if n_passes == 1 else PASS_K
+    lo_d = jnp.full((B, 1), -jnp.inf, dtype=jnp.float32)
+    lo_i = jnp.full((B, 1), -1, dtype=jnp.int32)
+    parts_d, parts_i = [], []
+    for _ in range(n_passes):
+        pd, pi = _one_pass(
+            queries, data, sqnorms, count, pass_k,
+            metric=metric, tile_n=tile_n, lo_d=lo_d, lo_i=lo_i,
+            interpret=interpret,
+        )
+        parts_d.append(pd)
+        parts_i.append(pi)
+        if n_passes > 1:
+            lo_d = pd[:, -1:]
+            lo_i = pi[:, -1:]
+    out_d = parts_d[0] if n_passes == 1 else jnp.concatenate(parts_d, axis=1)[:, :k]
+    out_i = parts_i[0] if n_passes == 1 else jnp.concatenate(parts_i, axis=1)[:, :k]
     out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
     return out_d, out_i
