@@ -163,6 +163,19 @@ def main() -> None:
     t1 = time.perf_counter()
     qps = args.repeats * B / (t1 - t0)
 
+    # Host-API path: queries fed from host numpy through the full public
+    # topk_query_batch (preprocess + upload + search + label mapping). On
+    # the axon relay the ~10 MB/s host link dominates this number; on a
+    # production host (PCIe) the two converge. Reported alongside so the
+    # engine number stays falsifiable against the host execution model.
+    host_reps = max(2, args.repeats // 4)
+    idx.topk_query_batch(queries, k)  # warm
+    t0 = time.perf_counter()
+    for _ in range(host_reps):
+        replies = idx.topk_query_batch(queries, k)
+    t1 = time.perf_counter()
+    host_qps = host_reps * B / (t1 - t0)
+
     print(f"# measuring CPU baseline ({args.baseline_queries} queries)...", file=sys.stderr)
     cpu_qps = cpu_baseline_qps(n, dim, k, args.baseline_queries)
     print(
@@ -172,6 +185,10 @@ def main() -> None:
                 "value": round(qps, 2),
                 "unit": "qps",
                 "vs_baseline": round(qps / cpu_qps, 2),
+                "host_api_qps": round(host_qps, 2),
+                "engine": "pallas" if vs_config.pallas_enabled(
+                    kind, k, idx.store.capacity,
+                    idx.store.fields["data"].device_dtype) else "xla",
             }
         )
     )

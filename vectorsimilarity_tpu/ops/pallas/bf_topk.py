@@ -51,12 +51,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _split_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
 def _make_kernel(
     metric: VecSimMetric,
     k: int,
@@ -68,31 +62,39 @@ def _make_kernel(
     metric = VecSimMetric(metric)
     dims = (((1,), (1,)), ((), ()))
 
-    def kernel(count_ref, qh_ref, ql_ref, qsq_ref, lo_d_ref, lo_i_ref, *rest):
+    def kernel(count_ref, q_ref, qsq_ref, lo_d_ref, lo_i_ref, *rest):
         if with_sqnorm:
             data_ref, sqn_ref, outd_ref, outi_ref, best_d, best_i = rest
         else:
             data_ref, outd_ref, outi_ref, best_d, best_i = rest
             sqn_ref = None
         j = pl.program_id(0)
-        B = qh_ref.shape[0]
+        B = q_ref.shape[0]
 
         @pl.when(j == 0)
         def _init():
             best_d[:] = jnp.full_like(best_d, jnp.inf)
             best_i[:] = jnp.full_like(best_i, -1)
 
-        # Score tile [B, TILE_N] on the MXU.
+        # Score tile [B, TILE_N] on the MXU. BOTH hi/lo splits happen
+        # IN-KERNEL: computing the lo plane as an XLA op outside the
+        # custom call is silently destroyed by --xla_allow_excess_precision
+        # (the f32->bf16->f32 round-trip folds away, zeroing the
+        # correction), which demotes the whole product to one-pass bf16 —
+        # measured 2.2e-4 error vs the correct 9e-7.
         if mode == "bf16_3x":
+            qf = q_ref[:]
+            q_hi = qf.astype(jnp.bfloat16)
+            q_lo = (qf - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             dat = data_ref[:]
             d_hi = dat.astype(jnp.bfloat16)
             d_lo = (dat - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            ip = jax.lax.dot_general(qh_ref[:], d_hi, dims, preferred_element_type=jnp.float32)
-            ip += jax.lax.dot_general(qh_ref[:], d_lo, dims, preferred_element_type=jnp.float32)
-            ip += jax.lax.dot_general(ql_ref[:], d_hi, dims, preferred_element_type=jnp.float32)
+            ip = jax.lax.dot_general(q_hi, d_hi, dims, preferred_element_type=jnp.float32)
+            ip += jax.lax.dot_general(q_hi, d_lo, dims, preferred_element_type=jnp.float32)
+            ip += jax.lax.dot_general(q_lo, d_hi, dims, preferred_element_type=jnp.float32)
         else:
             ip = jax.lax.dot_general(
-                qh_ref[:], data_ref[:], dims, preferred_element_type=jnp.float32
+                q_ref[:], data_ref[:], dims, preferred_element_type=jnp.float32
             )
         if metric == VecSimMetric.L2:
             s = qsq_ref[:] - 2.0 * ip + sqn_ref[:].reshape(1, tile_n)
@@ -114,11 +116,15 @@ def _make_kernel(
         def _merge():
             # O(k) selection: extract the lexicographic (distance, id)
             # minimum of (best ∪ tile) k times. Each pass is a few VPU
-            # row-reductions. The EXPLICIT id tie-break matters: the
-            # multipass k>128 chain excludes by (lo_d, lo_i), so equal
-            # distances crossing a pass boundary must be ordered by id or
-            # an id can repeat/vanish across passes (observed on-device
-            # with bf16_3x score ties at 1M rows).
+            # row-reductions. (A two-level group-min variant that touches
+            # the tile only on "tile pops" was tried and measured SLOWER on
+            # v5e — Mosaic executes both lax.cond branches, so the
+            # conditional full-tile recompute runs every pop.)
+            #
+            # The EXPLICIT id tie-break matters: the multipass k>128 chain
+            # excludes by (lo_d, lo_i), so equal distances crossing a pass
+            # boundary must be ordered by id or an id can repeat/vanish
+            # across passes (observed on-device with bf16_3x ties at 1M).
             cur_s = s
             cur_best_d = best_d[:]
             cur_best_i = best_i[:]
@@ -175,11 +181,10 @@ def _one_pass(
 
     if data.dtype == jnp.float32:
         mode = "bf16_3x"
-        q_hi, q_lo = _split_bf16(queries.astype(jnp.float32))
+        qk = queries.astype(jnp.float32)
     else:
         mode = "native"
-        q_hi = queries.astype(data.dtype)
-        q_lo = q_hi  # unused lane, keeps the arg list static
+        qk = queries.astype(data.dtype)
     qsq = (
         jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         if with_sqnorm
@@ -190,14 +195,13 @@ def _one_pass(
     rep = lambda j: (0, 0)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # count
-        pl.BlockSpec((B, D), rep, memory_space=pltpu.VMEM),  # q hi
-        pl.BlockSpec((B, D), rep, memory_space=pltpu.VMEM),  # q lo
+        pl.BlockSpec((B, D), rep, memory_space=pltpu.VMEM),  # q
         pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # qsq
         pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # lower bound d
         pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # lower bound i
         pl.BlockSpec((tile_n, D), lambda j: (j, 0), memory_space=pltpu.VMEM),  # data
     ]
-    args = [jnp.asarray([count], dtype=jnp.int32), q_hi, q_lo, qsq, lo_d, lo_i, data]
+    args = [jnp.asarray([count], dtype=jnp.int32), qk, qsq, lo_d, lo_i, data]
     if with_sqnorm:
         in_specs.append(pl.BlockSpec((tile_n,), lambda j: (j,), memory_space=pltpu.VMEM))
         args.append(sqnorms.astype(jnp.float32))
@@ -208,7 +212,7 @@ def _one_pass(
     # v5e (128M physical). The limit is an allowance, not an allocation, so
     # a generous flat value is safe for small shapes too.
     itemsize = 4 if data.dtype == jnp.float32 else 2
-    budget = 100 * 1024 * 1024
+    budget = 110 * 1024 * 1024
 
     out_d, out_i = pl.pallas_call(
         kernel,
