@@ -194,6 +194,57 @@ def test_batch_iterator_during_mutation():
     assert all(0 <= l < n + 1000 for l in served)
 
 
+def test_tiered_svs_batch_migration_journal():
+    """Tiered-SVS: mid-copy delete + overwrite during the batch migration
+    are replayed from the journal (svs_tiered.h:644-770 semantics)."""
+    pool = JobQueueThreadPool(1)
+    try:
+        dim = 8
+        primary = vs.VecSimParams(
+            algo=vs.VecSimAlgo.SVS,
+            svsParams=vs.SVSParams(type=vs.VecSimType.FLOAT32, dim=dim,
+                                   metric=vs.VecSimMetric.L2))
+        idx = vs.create_index(vs.VecSimParams(
+            algo=vs.VecSimAlgo.TIERED,
+            tieredParams=vs.TieredIndexParams(
+                primaryIndexParams=primary, jobQueue=pool,
+                submitCb=pool.submit_cb,
+                tieredSVSParams=vs.TieredSVSParams(
+                    trainingTriggerThreshold=8, updateTriggerThreshold=4))))
+        rng = np.random.default_rng(5)
+        data = rng.standard_normal((16, dim)).astype(np.float32)
+
+        entered = threading.Event()
+        release = threading.Event()
+        orig = idx.backend.add_vector_batch
+
+        def slow_add(vecs, labels):
+            entered.set()
+            assert release.wait(60)
+            return orig(vecs, labels)
+
+        idx.backend.add_vector_batch = slow_add
+        for i in range(8):
+            idx.add_vector(data[i], i)
+        assert entered.wait(60), "migration never started"
+
+        # Mid-copy: delete label 2, overwrite label 3 with data[15].
+        assert idx.delete_vector(2) == 1
+        assert idx.add_vector(data[15], 3) == 0
+        rep = idx.topk_query(data[15], 3)
+        assert 3 in rep.ids.tolist()
+
+        release.set()
+        assert pool.wait_for_quiescence(120)
+        idx.flush()  # drain the refilled flat buffer (label 3's new value)
+        assert 2 not in idx.topk_query(data[2], 8).ids.tolist()
+        # Label 3 resolves to the NEW value.
+        assert idx.topk_query(data[15], 1).ids.tolist() == [3]
+        assert idx.index_label_count == 7
+    finally:
+        pool.shutdown()
+
+
 def test_tiered_migration_outside_lock_with_journal():
     """Deterministic probe of the migration protocol: while the backend
     batch-build is in flight (blocked), queries and deletes must proceed

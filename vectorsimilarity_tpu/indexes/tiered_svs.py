@@ -6,9 +6,12 @@ flat buffer reaches ``trainingTriggerThreshold`` (default 10x1024,
 vec_sim_common.h:53), and afterwards an update job drains the flat buffer
 whenever it reaches ``updateTriggerThreshold`` (default 1024). The
 reference's swap/delete journals (svs_tiered.h:644-770) replay flat-buffer
-mutations that raced the copy; here the global lock serializes the
-migration against writers, which preserves the same observable semantics
-(every pre-submit vector is queryable throughout).
+mutations that raced the copy; the same protocol here: the backend batch
+build runs outside the global lock (readers/writers keep flowing against
+the flat tier), mid-copy deletes/overwrites land in the ``_superseded``
+journal, and completion replays them by tombstoning the landed copies and
+removing flat rows by op-id (every pre-submit vector stays queryable
+throughout).
 """
 
 from __future__ import annotations
@@ -48,21 +51,33 @@ class TieredSVSIndex(TieredHNSWIndex):
 
     def add_vector(self, blob: np.ndarray, label: int) -> int:
         blob = np.asarray(blob)
-        with self._glock:
-            if VecSimIndexBase.write_mode == VecSimWriteMode.InPlace and self.backend.index_size:
+        if VecSimIndexBase.write_mode == VecSimWriteMode.InPlace and self.backend.index_size:
+            # Direct backend inserts serialize with migrations so the
+            # completion journal can reason about the backend label set.
+            with self._migrate_lock, self._glock:
                 deleted = self.delete_vector(label) if not self.backend.multi else 0
                 self.backend.add_vector_batch(blob.reshape(1, -1), [label])
                 self.direct_hnsw_insertions += 1
                 return 1 - deleted if not self.backend.multi else 1
+        with self._glock:
             ret = 1
             if not self.backend.multi:
                 if self._label_exists(label):
                     ret = 0
+                if label in self._inflight:
+                    # Mid-copy overwrite: journal it; the landed old copy is
+                    # tombstoned at migration completion.
+                    self._superseded.add(label)
                 if label in self.frontend.labels:
                     self.frontend.delete_vector(label)
                 if label in self.backend.labels:
                     self._mark_delete_backend(label)
+            op = self._op_counter
+            self._op_counter += 1
             self.frontend.add_vector(blob, label)
+            if self.frontend.multi:
+                fe = self.frontend
+                fe.store.host["opid"][fe.store.count - 1] = op
             job = self._maybe_schedule_update()
         if job is not None:
             self._submit([job])
@@ -91,18 +106,53 @@ class TieredSVSIndex(TieredHNSWIndex):
 
     def _execute_batch_update(self) -> None:
         """Drain the flat buffer into the Vamana backend in one batch
-        (svs_tiered.h:644-770 updateSVSIndex)."""
-        with self._glock:
-            self._update_scheduled = False
-            fe = self.frontend
-            count = fe.index_size
-            if count == 0:
-                return
-            vecs = fe.store.host["data"][:count].copy()
-            labels = fe.store.host["label"][:count].copy()
+        (svs_tiered.h:644-770 updateSVSIndex).
+
+        The backend build runs OUTSIDE the global lock; mid-copy deletes
+        and overwrites are journaled (the reference's swaps/deleted-labels
+        journals) and replayed at completion: superseded labels get their
+        just-landed copies tombstoned, and flat rows are removed by op-id
+        so newer mid-copy rows survive."""
+        with self._migrate_lock:
+            with self._glock:
+                self._update_scheduled = False
+                fe = self.frontend
+                count = fe.store.count
+                if count == 0 or fe.index_size == 0:
+                    return
+                vecs = fe.store.host["data"][:count].copy()
+                labels = fe.store.host["label"][:count].copy()
+                opids = fe.store.host["opid"][:count].copy() if fe.multi else None
+                mig_labels = sorted({int(l) for l in labels})
+                for lab in mig_labels:
+                    self._inflight[lab] = self._inflight.get(lab, 0) + 1
             self.backend.add_vector_batch(vecs, labels.tolist())
-            for lab in np.unique(labels):
-                fe.delete_vector(int(lab))
+            with self._glock:
+                for lab in mig_labels:
+                    self._inflight[lab] -= 1
+                    if not self._inflight[lab]:
+                        del self._inflight[lab]
+                for lab in mig_labels:
+                    if lab in self._superseded:
+                        # Journal replay: deleted/overwritten mid-copy — the
+                        # flat row (if any) holds a NEWER value; tombstone
+                        # what we just landed and leave the flat tier alone.
+                        self._superseded.discard(lab)
+                        if lab in self.backend.labels:
+                            self._mark_delete_backend(lab)
+                        continue
+                    if fe.multi:
+                        for op in opids[labels == lab]:
+                            self._remove_one_from_flat(lab, int(op))
+                    else:
+                        fe.delete_vector(lab)
+        # Mid-copy adds may have refilled the flat buffer past a threshold;
+        # re-check OUTSIDE the migrate lock (a synchronous submit callback
+        # would re-enter _execute_batch_update).
+        with self._glock:
+            job = self._maybe_schedule_update()
+        if job is not None:
+            self._submit([job])
 
     def flush(self) -> None:
         """Test/ops hook: force-migrate pending flat vectors."""
