@@ -100,8 +100,14 @@ class DeviceVectorIndex(VecSimIndexBase):
             fields["slot"] = FieldSpec((), np.int32, fill=-1)
         if self.metric == VecSimMetric.L2:
             # Precomputed ||v||^2 turns L2 scans and neighbor gathers into a
-            # single matmul plus rank-1 updates (exact f32 for int inputs).
-            fields["sqnorm"] = FieldSpec((), np.float32)
+            # single matmul plus rank-1 updates (exact f32 for int inputs;
+            # f64 when the store computes at true double precision).
+            sq_dtype = (
+                np.float64
+                if self.vtype == VecSimType.FLOAT64 and _x64_enabled()
+                else np.float32
+            )
+            fields["sqnorm"] = FieldSpec((), sq_dtype)
         if self.is_int and self.metric == VecSimMetric.Cosine:
             fields["norm"] = FieldSpec((), np.float32)
         if extra_fields:
@@ -152,7 +158,9 @@ class DeviceVectorIndex(VecSimIndexBase):
                 rows["sqnorm"] = np.sum(v64 * v64, axis=-1).astype(np.float32)
             else:
                 v = arr.astype(np.float32 if arr.dtype != np.float64 else np.float64)
-                rows["sqnorm"] = np.sum(v * v, axis=-1).astype(np.float32)
+                rows["sqnorm"] = np.sum(v * v, axis=-1).astype(
+                    self.store.fields["sqnorm"].dtype
+                )
         if "norm" in self.store.fields:
             v = arr.astype(np.int64)
             rows["norm"] = np.sqrt(np.sum(v * v, axis=-1).astype(np.float32))

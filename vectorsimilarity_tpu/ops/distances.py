@@ -341,6 +341,8 @@ def streaming_topk(
     pad_n = n_chunks * chunk
     if seg_chunks is not None:
         n_chunks = min(seg_chunks, n_chunks)
+    # fp64 stores under x64 carry double-precision scores end to end.
+    sdtype = jnp.float64 if store[0].dtype == jnp.float64 else jnp.float32
 
     def pad_cols(x, fill=0):
         if x is None:
@@ -382,7 +384,7 @@ def streaming_topk(
         best_d, best_i = carry
         d = score_chunk(c)  # [B, chunk]
         ids = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
-        d = jnp.where(ids < count, d.astype(jnp.float32), inf)
+        d = jnp.where(ids < count, d.astype(sdtype), inf)
         kk = min(k, chunk)
         if kk <= _SMALL_TOPK_MAX:
             vals, pos = _lex_topk(d, kk)
@@ -398,10 +400,10 @@ def streaming_topk(
         init = best_init
     else:
         init = (
-            jnp.full((B, k), inf, dtype=jnp.float32),
+            jnp.full((B, k), inf, dtype=sdtype),
             jnp.full((B, k), -1, dtype=jnp.int32),
         )
-    chunks = jnp.arange(n_chunks)
+    chunks = jnp.arange(n_chunks, dtype=jnp.int32)  # int32 also under x64
     if start_chunk is not None:
         chunks = chunks + start_chunk.astype(jnp.int32)
     (best_d, best_i), _ = jax.lax.scan(step, init, chunks)
@@ -437,4 +439,5 @@ def full_scores(
     else:
         raise ValueError(f"unknown store kind {kind!r}")
     ids = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    return jnp.where(ids < count, d.astype(jnp.float32), jnp.inf)
+    sdtype = jnp.float64 if store[0].dtype == jnp.float64 else jnp.float32
+    return jnp.where(ids < count, d.astype(sdtype), jnp.inf)
