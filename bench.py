@@ -56,6 +56,59 @@ def cpu_baseline_qps(n: int, dim: int, k: int, nq: int) -> float:
         return 12e9 / (n * dim * 4)
 
 
+def supervise() -> None:
+    """Run the measurement in a child process with a stall watchdog.
+
+    The axon tunnel occasionally hangs a fresh session on its first device
+    dispatch (observed ~1 in 5 sessions; the blocked call never returns, so
+    no in-process retry can recover). The child prints heartbeats to
+    stderr; if it produces no output for --stall-timeout seconds the parent
+    kills it and starts a fresh session, up to 3 attempts."""
+    stall = float(os.environ.get("VS_BENCH_STALL_TIMEOUT", "900"))
+    for attempt in range(3):
+        env = dict(os.environ, VS_BENCH_CHILD="1")
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        import threading
+
+        last = [time.monotonic()]
+        out_lines: list[bytes] = []
+
+        def pump(stream, sink):
+            for line in iter(stream.readline, b""):
+                last[0] = time.monotonic()
+                if sink is None:
+                    out_lines.append(line)
+                else:
+                    sink.buffer.write(line)
+                    sink.flush()
+
+        t_out = threading.Thread(target=pump, args=(child.stdout, None), daemon=True)
+        t_err = threading.Thread(target=pump, args=(child.stderr, sys.stderr), daemon=True)
+        t_out.start(); t_err.start()
+        while child.poll() is None:
+            time.sleep(5)
+            if time.monotonic() - last[0] > stall:
+                print(f"# stall >{stall:.0f}s (tunnel hang); restarting "
+                      f"(attempt {attempt + 2}/3)", file=sys.stderr, flush=True)
+                child.kill()
+                child.wait()
+                time.sleep(30)  # let the tunnel drop the dead client
+                break
+        else:
+            t_out.join(5); t_err.join(5)
+            sys.stdout.buffer.write(b"".join(out_lines))
+            sys.stdout.flush()
+            if child.returncode == 0:
+                return
+            print(f"# child exited rc={child.returncode}; retrying",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
+    sys.exit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
@@ -123,6 +176,7 @@ def main() -> None:
         _ = float(jnp.sum(data[:: max(cap // 16, 1), 0].astype(jnp.float32)))
         adopt = {"data": data}
         queries = rng.standard_normal((B, dim)).astype(idx.np_dtype)
+    print("# dataset materialized on device", file=sys.stderr, flush=True)
     idx.store.adopt_device(adopt, count=n)
     idx.labels.label_to_id = {i: i for i in range(n)}
     idx.store.host["label"][:n] = np.arange(n, dtype=np.int64)
@@ -130,6 +184,7 @@ def main() -> None:
     from vectorsimilarity_tpu.core.abstract_index import retry_device
 
     # Correctness sanity through the full host API (includes label mapping).
+    print("# warming the query path (first compile)...", file=sys.stderr, flush=True)
     retry_device(lambda: idx.topk_query_batch(queries, k), attempts=4)
     replies = idx.topk_query_batch(queries, k)
     assert len(replies) == B and len(replies[0]) == k
@@ -195,4 +250,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("VS_BENCH_CHILD"):
+        main()
+    else:
+        supervise()
