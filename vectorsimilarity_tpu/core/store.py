@@ -323,6 +323,15 @@ class BlockStore:
 
     @property
     def memory_bytes(self) -> int:
+        """Actual bytes held: host mirrors + per-buffer device accounting
+        (device dtypes can differ from host — fp64-at-fp32 stores, int
+        norm columns — so the device side is summed from the real arrays,
+        the ``VecSimAllocator`` accounting analog, ``vecsim_malloc.h:24``)."""
         host = sum(a.nbytes for a in self.host.values())
-        # Device copy mirrors host capacity once synced.
-        return host * (2 if self._device else 1)
+        dev = 0
+        for a in self._device.values():
+            try:
+                dev += int(np.prod(a.shape)) * a.dtype.itemsize
+            except Exception:  # pragma: no cover - deleted buffer
+                pass
+        return host + dev

@@ -1439,9 +1439,17 @@ class HNSWIndex(DeviceVectorIndex):
     def basic_info(self):
         return self._basic_info(VecSimAlgo.HNSWLIB)
 
+    def _total_memory_bytes(self) -> int:
+        total = self.memory_bytes + self.upper.memory_bytes
+        cached = getattr(self, "_nav_cache", None)
+        if cached is not None:
+            nav = cached[1]
+            total += int(np.prod(nav.shape)) * nav.dtype.itemsize
+        return total
+
     def stats_info(self) -> VecSimIndexStatsInfo:
         return VecSimIndexStatsInfo(
-            memory=self.memory_bytes + self.upper.memory_bytes,
+            memory=self._total_memory_bytes(),
             numberOfMarkedDeleted=self.num_marked_deleted,
         )
 
@@ -1454,7 +1462,7 @@ class HNSWIndex(DeviceVectorIndex):
                 basicInfo=self.basic_info(),
                 indexSize=self.index_size,
                 indexLabelCount=self.index_label_count,
-                memory=self.memory_bytes + self.upper.memory_bytes,
+                memory=self._total_memory_bytes(),
                 lastMode=self.last_mode,
             ),
             hnswInfo=HnswInfo(
