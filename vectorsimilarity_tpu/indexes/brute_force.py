@@ -212,8 +212,11 @@ class BruteForceIndex(DeviceVectorIndex):
                 from ..ops.pallas.bf_topk import pallas_topk
 
                 data, sqn = self.store_tuple(dev)
+                # Exact k, not the pow2 bucket: the in-VMEM merge scales
+                # linearly with k (k=10 runs ~40% faster than k=16).
                 return pallas_topk(
-                    qd, data, sqn, jnp.int32(count), kpad,
+                    qd, data, sqn, jnp.int32(count),
+                    min(k, max(count, 1)),
                     metric=self.metric,
                     tile_n=min(config.pallas_tile_n, self.store.capacity),
                 )
@@ -259,7 +262,7 @@ class BruteForceIndex(DeviceVectorIndex):
 
             data, sqn = self.store_tuple(dev)
             dists, ids = pallas_topk(
-                jnp.asarray(q), data, sqn, jnp.int32(count), kpad,
+                jnp.asarray(q), data, sqn, jnp.int32(count), kk,
                 metric=self.metric,
                 tile_n=min(config.pallas_tile_n, self.store.capacity),
             )
