@@ -200,11 +200,16 @@ def VecSim_SetMemoryFunctions(funcs) -> None:
 
 
 def VecSim_UpdateThreadPoolSize(new_size: int) -> None:
-    """vec_sim.cpp:38-48: size 0 flips writes to in-place, nonzero to async."""
+    """vec_sim.cpp:38-48: size 0 flips writes to in-place, nonzero to async,
+    and the shared SVS pool resizes (clamped to 1; deferred until the first
+    SVS index attaches, and shrinks defer to scheduled-job quiescence)."""
     if new_size == 0:
         VecSimIndexBase.set_write_mode(VecSimWriteMode.InPlace)
     else:
         VecSimIndexBase.set_write_mode(VecSimWriteMode.Async)
+    from .utils.thread_pool import SharedSVSThreadPool
+
+    SharedSVSThreadPool.instance().resize(new_size)
 
 
 def VecSimDebug_GetElementNeighborsInHNSWGraph(index, label: int):

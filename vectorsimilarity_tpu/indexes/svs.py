@@ -31,6 +31,7 @@ from ..core.results import QueryReply, make_reply
 from ..core.store import FieldSpec
 from ..ops.graph_search import StoreCtx, beam_search, dists_to_ids, diversity_prune
 from ..ops.quantize import sq8_quantize
+from ..utils.thread_pool import SharedSVSThreadPool
 from ..types import (
     CommonInfo,
     QueryReplyOrder,
@@ -134,6 +135,9 @@ class SVSIndex(DeviceVectorIndex):
         self._inserts_since_medoid = 0
         if getattr(self, "_pending_log", None):
             self.log(*self._pending_log)
+        # First SVS index attaches to the process-wide shared pool and applies
+        # any resize requested before index creation (svs_utils.h:509-518).
+        SharedSVSThreadPool.instance().on_index_attached()
 
     # ------------------------------------------------------------------
     # Preprocessing (quantizing storage pipeline)
@@ -146,7 +150,7 @@ class SVSIndex(DeviceVectorIndex):
         if arr.ndim == 1:
             arr = arr[None, :]
         if self.metric == VecSimMetric.Cosine:
-            arr = self._normalize_rows(arr.astype(np.float32))
+            arr = self._parallel_normalize(arr.astype(np.float32))
         arr = arr.astype(np.float32)
         codes, vmin, delta, xsum, xsumsq = sq8_quantize(jnp.asarray(arr))
         rows = {
@@ -157,6 +161,25 @@ class SVSIndex(DeviceVectorIndex):
         if "sqnorm" in self.store.fields:
             rows["sqnorm"] = np.asarray(xsumsq)
         return rows
+
+    def _parallel_normalize(self, arr: np.ndarray) -> np.ndarray:
+        """Host-side row normalization partitioned over the shared pool —
+        the analog of the reference's parallel dataset copy-in
+        (svs_utils.h:245 ``parallel_for`` over ``StaticPartition``); numpy
+        releases the GIL for the per-chunk vectorized ops."""
+        pool = SharedSVSThreadPool.instance()
+        nparts = min(pool.size(), max(1, arr.shape[0] // 2048))
+        if nparts <= 1:
+            return self._normalize_rows(arr)
+        out = np.empty_like(arr)
+        bounds = np.linspace(0, arr.shape[0], nparts + 1).astype(int)
+
+        def _part(i: int) -> None:
+            lo, hi = bounds[i], bounds[i + 1]
+            out[lo:hi] = self._normalize_rows(arr[lo:hi])
+
+        pool.parallel_for(_part, nparts)
+        return out
 
     def preprocess_queries(self, queries: np.ndarray):
         if not self.is_sq8:

@@ -27,6 +27,7 @@ from ..types import (
     VecSimWriteMode,
 )
 from ..core.interface import VecSimIndexBase
+from ..utils.thread_pool import SharedSVSThreadPool
 from .tiered import SVS_BATCH_UPDATE_JOB, SVS_GC_JOB, AsyncJob, TieredHNSWIndex
 
 
@@ -112,7 +113,21 @@ class TieredSVSIndex(TieredHNSWIndex):
         and overwrites are journaled (the reference's swaps/deleted-labels
         journals) and replayed at completion: superseded labels get their
         just-landed copies tombstoned, and flat rows are removed by op-id
-        so newer mid-copy rows survive."""
+        so newer mid-copy rows survive.
+
+        The migration is bracketed as one scheduled job on the shared SVS
+        pool (svs_tiered.h:35-215 ``SVSMultiThreadJob`` rendezvous): while
+        it is in flight a shrink of the pool is deferred, so worker slots
+        the batch build's ``parallel_for`` may rent are never destroyed
+        mid-job."""
+        pool = SharedSVSThreadPool.instance()
+        pool.begin_scheduled_job()
+        try:
+            self._execute_batch_update_job()
+        finally:
+            pool.end_scheduled_job()
+
+    def _execute_batch_update_job(self) -> None:
         with self._migrate_lock:
             with self._glock:
                 self._update_scheduled = False

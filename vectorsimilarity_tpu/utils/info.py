@@ -70,4 +70,8 @@ def get_shared_memory() -> int:
     """``VecSim_GetSharedMemory``: process-wide allocations not owned by any
     single index. Device memory is all index-owned in this design, so this
     reports the shared worker-pool bookkeeping only (0 when unused)."""
-    return 0
+    from .thread_pool import SharedSVSThreadPool
+
+    if not SharedSVSThreadPool.is_initialized():
+        return 0
+    return SharedSVSThreadPool.instance().shared_allocation_size()
