@@ -65,7 +65,7 @@ def cmd_dump(n):
     print(f"# wrote {DATA} {QF} {GTF} (n={n})", file=sys.stderr)
 
 
-def cmd_ours(n, efs):
+def cmd_ours(n, efs, save=None):
     import jax
     from vectorsimilarity_tpu.core.store import _bucket_capacity
     from vectorsimilarity_tpu.indexes.hnsw import HNSWIndex
@@ -86,6 +86,11 @@ def cmd_ours(n, efs):
     print(json.dumps({"event": "our_build", "n": n, "M": 16, "efC": 200,
                       "seconds": round(dt, 1),
                       "vectors_per_sec": round(n / dt, 1)}), flush=True)
+    if save:
+        from vectorsimilarity_tpu.utils.hnsw_file_format import save_hnsw_file
+
+        save_hnsw_file(idx, save)
+        print(f"# saved our graph to {save}", file=sys.stderr, flush=True)
     for ef in efs:
         tq = time.perf_counter()
         _, ids = idx.search_knn(queries, K, ef)
@@ -118,6 +123,8 @@ if __name__ == "__main__":
     ap.add_argument("--efs", type=str, default="10,50,100,200,500")
     ap.add_argument("--prefix", type=str, default="/tmp/cc_",
                     help="data/query/GT file prefix (vary per scale)")
+    ap.add_argument("--save", type=str, default=None,
+                    help="ours: export the built graph (reference V4 binary)")
     args = ap.parse_args()
     DATA = args.prefix + "data.f32"
     QF = args.prefix + "q.f32"
@@ -126,6 +133,6 @@ if __name__ == "__main__":
     if args.cmd == "dump":
         cmd_dump(args.n)
     elif args.cmd == "ours":
-        cmd_ours(args.n, efs)
+        cmd_ours(args.n, efs, save=args.save)
     else:
         cmd_cross(args.ref_file, efs)

@@ -199,6 +199,10 @@ def save_hnsw_file(index, path: str, version: int = V4) -> None:
     """Export an HNSWIndex to the reference binary format."""
     if version not in (V3, V4):
         raise ValueError(f"unsupported version {version}")
+    # Device-resident builds (bulk_build_device) leave host mirrors stale;
+    # serialization is a host path, so materialize them first.
+    index.store.pull_host()
+    index.upper.pull_host()
     count = index.store.count
     out = bytearray()
     pk = struct.pack
