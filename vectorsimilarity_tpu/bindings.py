@@ -113,8 +113,19 @@ class HNSWIndex(PyVecSimIndex):
 
 
 class SVSIndex(PyVecSimIndex):
-    def __init__(self, params: SVSParams):
+    def __init__(self, params: SVSParams, location: Optional[str] = None):
         self.index = _SVS(params)
+        if location is not None:
+            # Reference loadIndex contract (svs_serializer_impl.h:85-118):
+            # create with the same params, then validate + restore.
+            from .utils.svs_file_format import load_svs_folder
+
+            load_svs_folder(self.index, location)
+
+    def save_index(self, location: str) -> None:
+        from .utils.svs_file_format import save_svs_folder
+
+        save_svs_folder(self.index, location)
 
 
 class _TieredBase(PyVecSimIndex):
