@@ -73,10 +73,20 @@ def test_sq8_quantized_recall():
     assert rep.ids[0] == 42
 
 
-def test_unsupported_quant_falls_back():
+def test_quant_modes_are_native():
+    # Every quantBits flavor instantiates its real storage mode (no
+    # fallback): 4-bit packs two codes per byte, two-level adds residual
+    # fields, LeanVec projects the primary space. Deep coverage lives in
+    # test_svs_quant.py.
     idx = make_svs(dim=8, quant=VecSimSvsQuantBits.Q4x8_LeanVec)
-    assert idx.quant == VecSimSvsQuantBits.Scalar
+    assert idx.quant == VecSimSvsQuantBits.Q4x8_LeanVec
+    assert idx.is_leanvec and idx.primary_bits == 4 and idx.res_bits == 8
+    assert idx.pdim == 4  # default leanvec_dim = dim/2
     assert idx.debug_info().svsInfo.quantBits == VecSimSvsQuantBits.Q4x8_LeanVec
+    assert idx.debug_info().svsInfo.leanvecDim == 4
+    q4 = make_svs(dim=8, quant=VecSimSvsQuantBits.Q4)
+    assert q4.store_kind == "sq4"
+    assert q4.store.fields["data"].shape == (4,)  # packed nibbles
 
 
 def test_delete_and_repair():

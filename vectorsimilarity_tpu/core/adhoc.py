@@ -42,6 +42,15 @@ class AdhocBfCtx:
         ids = np.full((len(labels), width), -1, dtype=np.int32)
         for r, lst in enumerate(ids_per_label):
             ids[r, : len(lst)] = lst
+        if getattr(index, "res_bits", 0):
+            # Two-level / LeanVec SVS stores: the index's refinement decode
+            # is the exact-scoring surface (the primary store may live in a
+            # projected space the generic gather kernel can't score).
+            q = np.broadcast_to(self._q[0], (len(labels), self._q.shape[1]))
+            d = index.exact_gathered_dists(q, ids)
+            best = d.min(axis=1)
+            best[~np.isfinite(best)] = np.nan
+            return best
         dev = index.store.device_arrays()
         ctx = StoreCtx(
             data=dev["data"],

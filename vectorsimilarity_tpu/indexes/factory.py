@@ -90,4 +90,16 @@ def estimate_element_size(params: VecSimParams) -> int:
     if algo == VecSimAlgo.SVS:
         deg = getattr(p, "graph_max_degree", 0) or 32
         base += deg * 4
+        qv = int(getattr(p, "quantBits", 0) or 0)
+        if qv:
+            # Quantized storage replaces the raw row: primary codes (+8
+            # bytes of per-row scales), plus secondary codes for the
+            # two-level / LeanVec modes.
+            bits = 8 if qv == 1 else qv & 0xFF
+            res_bits = (qv >> 8) & 0xFF
+            pdim = (getattr(p, "leanvec_dim", 0) or p.dim // 2) if qv >> 16 else p.dim
+            stored = ((pdim + 1) // 2 if bits == 4 else pdim) + 8
+            if res_bits:
+                stored += ((p.dim + 1) // 2 if res_bits == 4 else p.dim) + 8
+            base = stored + 8 + 4 + deg * 4
     return base

@@ -11,11 +11,18 @@ optional LVQ/LeanVec compression. This is a from-scratch TPU-native Vamana:
   - construction = batched candidate search + ``diversity_prune`` with the
     Vamana rule (alpha * d(kept, c) <= d(q, c) discards; alpha defaults
     1.2 for L2 / 0.95 for IP-like, vec_sim_common.h:41-42);
-  - compression: quantBits NONE keeps the raw dtype; Scalar/Q8 store SQ8
-    codes searched with the asymmetric kernels (ops.quantize); the 4-bit and
-    LeanVec modes fall back to the nearest supported mode with a log, the
-    same graceful fallback the reference factory performs when a mode is
-    unavailable on the target ISA (svs_factory.cpp:64-117).
+  - compression (quantBits, vec_sim_common.h:170-179): NONE keeps the raw
+    dtype; Scalar/Q8 store SQ8 codes searched with the asymmetric kernels;
+    Q4 stores LVQ-style 4-bit codes two-per-byte (``ops.quantize.pack4``) —
+    half the HBM bytes per gathered neighbor; Q4x4/Q4x8 add a second
+    residual level used to RERANK the search window (two-level LVQ
+    semantics); the LeanVec modes search a learned ``leanvec_dim``
+    PCA-projected primary space (4- or 8-bit codes) and rerank with a
+    full-dimension SQ8 secondary. All reranks run as one batched
+    gather+einsum (``ops.quantize.gathered_recon_dists``). The reference
+    delegates these modes to the Intel SVS library, whose sources are an
+    empty submodule in the snapshot (cmake/svs.cmake) — semantics here
+    follow the mode names and the LVQ/LeanVec papers, TPU-first.
 """
 
 from __future__ import annotations
@@ -30,7 +37,17 @@ from ..core.interface import TimeoutBudget
 from ..core.results import QueryReply, make_reply
 from ..core.store import FieldSpec
 from ..ops.graph_search import StoreCtx, beam_search, dists_to_ids, diversity_prune
-from ..ops.quantize import sq8_quantize
+from ..ops.quantize import (
+    gathered_recon_dists,
+    leanvec_project,
+    leanvec_train,
+    residual_quantize,
+    sq4_quantize,
+    sq4_reconstruct,
+    sq8_quantize,
+    sq8_reconstruct,
+    unpack4,
+)
 from ..utils.thread_pool import SharedSVSThreadPool
 from ..types import (
     CommonInfo,
@@ -55,16 +72,6 @@ from ..types import (
 
 FLAG_DELETED = 1
 
-_SQ8_MODES = {
-    VecSimSvsQuantBits.Scalar,
-    VecSimSvsQuantBits.Q8,
-    VecSimSvsQuantBits.Q4,
-    VecSimSvsQuantBits.Q4x4,
-    VecSimSvsQuantBits.Q4x8,
-    VecSimSvsQuantBits.Q4x8_LeanVec,
-    VecSimSvsQuantBits.Q8x8_LeanVec,
-}
-
 
 class SVSIndex(DeviceVectorIndex):
     def __init__(self, params: SVSParams, log_ctx: Any = None):
@@ -88,29 +95,36 @@ class SVSIndex(DeviceVectorIndex):
 
         quant = VecSimSvsQuantBits(params.quantBits)
         self.requested_quant = quant
-        if quant in _SQ8_MODES and quant not in (
-            VecSimSvsQuantBits.Scalar,
-            VecSimSvsQuantBits.Q8,
-        ):
-            # Graceful fallback, mirroring the reference factory's behavior
-            # when a quant flavor is unsupported on the target.
-            self._pending_log = (
-                "warning",
-                f"SVS quantization mode {quant.name} is not yet supported on "
-                "this target; falling back to Scalar (SQ8)",
-            )
-            quant = VecSimSvsQuantBits.Scalar
         self.quant = quant
-        self.is_sq8 = quant in (VecSimSvsQuantBits.Scalar, VecSimSvsQuantBits.Q8)
+        # Decompose the mode: low byte = primary bits, second byte =
+        # residual/secondary bits, third byte = LeanVec flag (the enum's own
+        # encoding, vec_sim_common.h:170-179; Scalar is SQ8-class).
+        qv = int(quant)
+        self.primary_bits = 8 if quant == VecSimSvsQuantBits.Scalar else (qv & 0xFF)
+        self.res_bits = (qv >> 8) & 0xFF
+        self.is_leanvec = bool(qv >> 16)
+        self.quantized = self.primary_bits in (4, 8)
+        self.is_sq8 = self.quantized  # primary search space is quantized
+        # Primary (graph/search) space dimension: LeanVec projects to
+        # leanvec_dim (default dim/2, the LeanVec paper's operating point).
+        if self.is_leanvec:
+            self.pdim = max(1, params.leanvec_dim or params.dim // 2)
+        else:
+            self.pdim = params.dim
+        self._P = None  # LeanVec projection [dim, pdim], trained on first batch
+        self._P_host = None
 
         extra: dict[str, FieldSpec] = {
             "links": FieldSpec((self.R,), np.int32, fill=-1),
             "nlinks": FieldSpec((), np.int32),
             "flags": FieldSpec((), np.uint8),
         }
-        if self.is_sq8:
+        if self.quantized:
             extra["vmin"] = FieldSpec((), np.float32)
             extra["delta"] = FieldSpec((), np.float32)
+            if self.res_bits:
+                extra["rvmin"] = FieldSpec((), np.float32)
+                extra["rdelta"] = FieldSpec((), np.float32)
 
         super().__init__(
             vtype=params.type,
@@ -121,20 +135,29 @@ class SVSIndex(DeviceVectorIndex):
             log_ctx=log_ctx,
             extra_fields=extra,
         )
-        if self.is_sq8:
-            # Storage holds uint8 codes; metadata fields carry the scale.
-            self.store.fields["data"] = FieldSpec((self.dim,), np.uint8)
+        if self.quantized:
+            # Storage holds primary codes (two-per-byte for 4-bit);
+            # metadata fields carry the per-row scales.
+            prow = (self.pdim + 1) // 2 if self.primary_bits == 4 else self.pdim
+            self.store.fields["data"] = FieldSpec((prow,), np.uint8)
             self.store._resize(self.store.capacity)  # re-materialize data field
-            if self.metric == VecSimMetric.L2 and "sqnorm" not in self.store.fields:
-                self.store.fields["sqnorm"] = FieldSpec((), np.float32)
-                self.store._resize(self.store.capacity)
-            self.store_kind = "sq8"
+            if self.res_bits:
+                # Secondary codes: full-dim SQ8 for LeanVec (independent
+                # re-quantization), residual-of-primary otherwise.
+                rrow = (self.dim + 1) // 2 if self.res_bits == 4 else self.dim
+                self.store.add_field("res", FieldSpec((rrow,), np.uint8))
+            if self.metric == VecSimMetric.L2:
+                # Σx² in the primary space (asymmetric L2 search) ...
+                if "sqnorm" not in self.store.fields:
+                    self.store.add_field("sqnorm", FieldSpec((), np.float32))
+                if self.is_leanvec:
+                    # ... and in the original space (rerank).
+                    self.store.add_field("rsq", FieldSpec((), np.float32))
+            self.store_kind = "sq4" if self.primary_bits == 4 else "sq8"
         self.params = params
         self.entry_id = -1
         self.num_marked_deleted = 0
         self._inserts_since_medoid = 0
-        if getattr(self, "_pending_log", None):
-            self.log(*self._pending_log)
         # First SVS index attaches to the process-wide shared pool and applies
         # any resize requested before index creation (svs_utils.h:509-518).
         SharedSVSThreadPool.instance().on_index_attached()
@@ -144,7 +167,7 @@ class SVSIndex(DeviceVectorIndex):
     # ------------------------------------------------------------------
 
     def preprocess_storage(self, blob: np.ndarray) -> dict[str, np.ndarray]:
-        if not self.is_sq8:
+        if not self.quantized:
             return super().preprocess_storage(blob)
         arr = np.asarray(blob, dtype=np.float32 if self.np_dtype != np.float64 else np.float64)
         if arr.ndim == 1:
@@ -152,15 +175,52 @@ class SVSIndex(DeviceVectorIndex):
         if self.metric == VecSimMetric.Cosine:
             arr = self._parallel_normalize(arr.astype(np.float32))
         arr = arr.astype(np.float32)
-        codes, vmin, delta, xsum, xsumsq = sq8_quantize(jnp.asarray(arr))
+        full = jnp.asarray(arr)
+        if self.is_leanvec:
+            if self._P is None:
+                self._train_leanvec(full)
+            prim = leanvec_project(full, self._P)
+        else:
+            prim = full
+        quantize = sq4_quantize if self.primary_bits == 4 else sq8_quantize
+        codes, vmin, delta, _, psumsq = quantize(prim)
         rows = {
             "data": np.asarray(codes),
             "vmin": np.asarray(vmin),
             "delta": np.asarray(delta),
         }
         if "sqnorm" in self.store.fields:
-            rows["sqnorm"] = np.asarray(xsumsq)
+            rows["sqnorm"] = np.asarray(psumsq)
+        if self.res_bits:
+            if self.is_leanvec:
+                # Secondary = independent full-dimension SQ8 (rerank space).
+                res, rvmin, rdelta = residual_quantize(
+                    full, jnp.zeros_like(full), self.res_bits
+                )
+                if "rsq" in self.store.fields:
+                    rows["rsq"] = np.asarray(jnp.sum(full * full, axis=-1))
+            else:
+                # Secondary = residual of the primary decode (two-level LVQ).
+                if self.primary_bits == 4:
+                    recon = sq4_reconstruct(codes, vmin, delta, self.dim)
+                else:
+                    recon = sq8_reconstruct(codes, vmin, delta)
+                res, rvmin, rdelta = residual_quantize(full, recon, self.res_bits)
+            rows["res"] = np.asarray(res)
+            rows["rvmin"] = np.asarray(rvmin)
+            rows["rdelta"] = np.asarray(rdelta)
         return rows
+
+    def _train_leanvec(self, sample: jnp.ndarray) -> None:
+        """Learn the projection ONCE from the first ingest batch and freeze
+        it (the reference's tiered SVS similarly trains LeanVec on a
+        threshold-sized sample and keeps it, svs_tiered.h trainingTrigger).
+        """
+        self._P = leanvec_train(sample, self.pdim)
+        self._P_host = np.asarray(self._P)
+        self.log("info",
+                 f"LeanVec projection trained: {self.dim} -> {self.pdim} "
+                 f"on {int(sample.shape[0])} rows")
 
     def _parallel_normalize(self, arr: np.ndarray) -> np.ndarray:
         """Host-side row normalization partitioned over the shared pool —
@@ -182,7 +242,11 @@ class SVSIndex(DeviceVectorIndex):
         return out
 
     def preprocess_queries(self, queries: np.ndarray):
-        if not self.is_sq8:
+        """Returns (q, qnorms, qmeta) in the ORIGINAL vector space; the
+        search path projects into the LeanVec primary space itself
+        (``_primary_queries``) so rerank/adhoc consumers keep the exact
+        full-dimension query."""
+        if not self.quantized:
             q, qn = super().preprocess_queries(queries)
             return q, qn, None
         arr = np.asarray(queries, dtype=np.float32)
@@ -193,6 +257,14 @@ class SVSIndex(DeviceVectorIndex):
         ysum = arr.sum(axis=-1, dtype=np.float32)
         ysumsq = (arr.astype(np.float32) ** 2).sum(axis=-1, dtype=np.float32)
         return arr, None, (ysum, ysumsq)
+
+    def _primary_queries(self, qd: jnp.ndarray):
+        """Map original-space device queries into the primary search space,
+        recomputing the asymmetric-kernel metadata there."""
+        if self.is_leanvec:
+            qd = leanvec_project(qd, self._P)
+        qm = (jnp.sum(qd, axis=-1), jnp.sum(qd * qd, axis=-1))
+        return qd, qm
 
     def _ctx(self, dev) -> StoreCtx:
         return StoreCtx(
@@ -231,7 +303,9 @@ class SVSIndex(DeviceVectorIndex):
             return
         dev = self.store.device_arrays()
         data = dev["data"]
-        if self.is_sq8:
+        if self.quantized:
+            if self.primary_bits == 4:
+                data = unpack4(data)
             data = dev["vmin"][:, None] + dev["delta"][:, None] * data.astype(jnp.float32)
         else:
             data = data.astype(jnp.float32)
@@ -275,10 +349,19 @@ class SVSIndex(DeviceVectorIndex):
                 self._update_medoid()
             return n if not overwrite else n - len(overwrite)
 
+    def _unpack4_host(self, packed: np.ndarray) -> np.ndarray:
+        lo = packed & np.uint8(0x0F)
+        hi = packed >> 4
+        return np.concatenate([lo, hi], axis=-1)
+
     def _q_dev(self, ids):
-        """Float query views of freshly stored rows (reconstructed for sq8)."""
-        if self.is_sq8:
-            codes = self.store.host["data"][ids].astype(np.float32)
+        """Primary-space float views of freshly stored rows (decoded from
+        the primary codes for the quantized modes)."""
+        if self.quantized:
+            codes = self.store.host["data"][ids]
+            if self.primary_bits == 4:
+                codes = self._unpack4_host(codes)
+            codes = codes.astype(np.float32)
             vmin = self.store.host["vmin"][ids][:, None]
             delta = self.store.host["delta"][ids][:, None]
             q = vmin + delta * codes
@@ -294,10 +377,13 @@ class SVSIndex(DeviceVectorIndex):
         return q, qn, None
 
     def _device_queries(self, dev, ids_dev):
-        """Float query views of stored rows, sliced on device (sq8 rows are
-        reconstructed on device; no host round-trip)."""
-        if self.is_sq8:
-            codes = dev["data"][ids_dev].astype(jnp.float32)
+        """Primary-space float views of stored rows, sliced on device
+        (quantized rows are decoded on device; no host round-trip)."""
+        if self.quantized:
+            codes = dev["data"][ids_dev]
+            if self.primary_bits == 4:
+                codes = unpack4(codes)
+            codes = codes.astype(jnp.float32)
             vmin = dev["vmin"][ids_dev][:, None]
             delta = dev["delta"][ids_dev][:, None]
             q = vmin + delta * codes
@@ -540,6 +626,9 @@ class SVSIndex(DeviceVectorIndex):
         qd = jnp.asarray(q)
         qn = None if qnorms is None else jnp.asarray(qnorms)
         qm = None if qmeta is None else tuple(jnp.asarray(m) for m in qmeta)
+        if self.quantized:
+            # Beam runs in the primary (possibly LeanVec-projected) space.
+            qd, qm = self._primary_queries(qd)
         ep = self.entry_id
         e = jnp.full((bpad,), ep, dtype=jnp.int32)
         ed = dists_to_ids(
@@ -552,6 +641,60 @@ class SVSIndex(DeviceVectorIndex):
             ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
         )
         return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
+
+    # ------------------------------------------------------------------
+    # Refinement (two-level / LeanVec secondary rerank)
+    # ------------------------------------------------------------------
+
+    def _refine_layers(self, dev):
+        """(layers, packed_flags, xsumsq) for ``gathered_recon_dists``."""
+        if self.is_leanvec:
+            return (
+                ((dev["res"], dev["rvmin"], dev["rdelta"]),),
+                (self.res_bits == 4,),
+                dev.get("rsq"),
+            )
+        return (
+            (
+                (dev["data"], dev["vmin"], dev["delta"]),
+                (dev["res"], dev["rvmin"], dev["rdelta"]),
+            ),
+            (self.primary_bits == 4, self.res_bits == 4),
+            dev.get("sqnorm"),
+        )
+
+    def exact_gathered_dists(self, q: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """Best-decode distances from preprocessed original-space queries to
+        stored rows — the ad-hoc scoring hook (``core.adhoc``) for modes
+        whose primary store lives in a different space than the query."""
+        dev = self.store.device_arrays()
+        layers, packed, xsumsq = self._refine_layers(dev)
+        d = np.asarray(gathered_recon_dists(
+            jnp.asarray(q, dtype=jnp.float32), jnp.asarray(np.maximum(ids, 0)),
+            layers, xsumsq,
+            metric_is_l2=self.metric == VecSimMetric.L2, packed_flags=packed,
+        ))
+        return np.where(ids >= 0, d, np.inf)
+
+    def _refine(self, queries: np.ndarray, dists: np.ndarray, ids: np.ndarray):
+        """Re-score search-window candidates against the best stored decode
+        and re-sort each row. For two-level LVQ the decode is
+        primary+residual; for LeanVec it is the full-dimension SQ8
+        secondary — the reference's rerank contract for these modes."""
+        q, _, _ = self.preprocess_queries(queries)
+        dev = self.store.device_arrays()
+        layers, packed, xsumsq = self._refine_layers(dev)
+        safe = np.maximum(ids, 0)
+        refined = np.asarray(gathered_recon_dists(
+            jnp.asarray(q), jnp.asarray(safe), layers, xsumsq,
+            metric_is_l2=self.metric == VecSimMetric.L2, packed_flags=packed,
+        ))
+        refined = np.where((ids >= 0) & np.isfinite(dists), refined, np.inf)
+        order = np.argsort(refined, axis=1, kind="stable")
+        return (
+            np.take_along_axis(refined, order, axis=1),
+            np.take_along_axis(ids, order, axis=1),
+        )
 
     def topk_query(
         self, query: np.ndarray, k: int, params: Optional[VecSimQueryParams] = None
@@ -571,6 +714,8 @@ class SVSIndex(DeviceVectorIndex):
         ws = self._effective_ws(k, params)
         ws += min(self.num_marked_deleted, ws)
         dists, ids = self.search_knn(np.atleast_2d(queries), k, ws)
+        if self.res_bits:
+            dists, ids = self._refine(np.atleast_2d(queries), dists, ids)
         out = []
         flags = self.store.host["flags"]
         id_to_label = self.store.host["label"]
@@ -627,6 +772,9 @@ class SVSIndex(DeviceVectorIndex):
             if budget.expired():
                 break
             ef *= 2
+        if self.res_bits:
+            rd, ri = self._refine(q2, d[None, :], i[None, :])
+            d, i = rd[0], ri[0]
         valid = (i >= 0) & (d <= radius)
         row_i = i[valid]
         flags = self.store.host["flags"]
@@ -641,24 +789,44 @@ class SVSIndex(DeviceVectorIndex):
             reply.code = VecSimQueryReplyCode.TimedOut
         return reply.sort(order)
 
+    def _decode_host(self, ids) -> np.ndarray:
+        """Best-available original-space decode of stored rows [n, ~dim]:
+        secondary SQ8 for LeanVec, primary+residual for two-level LVQ,
+        primary decode otherwise. (4-bit rows of odd dim decode one pad
+        column wider; callers dot against zero-padded queries.)"""
+        host = self.store.host
+        ids = np.asarray(ids)
+        if self.is_leanvec:
+            res = host["res"][ids].astype(np.float32)
+            return host["rvmin"][ids][:, None] + host["rdelta"][ids][:, None] * res
+        codes = host["data"][ids]
+        if self.primary_bits == 4:
+            codes = self._unpack4_host(codes)
+        x = host["vmin"][ids][:, None] + host["delta"][ids][:, None] * codes.astype(np.float32)
+        if self.res_bits:
+            res = host["res"][ids]
+            if self.res_bits == 4:
+                res = self._unpack4_host(res)
+            r = host["rvmin"][ids][:, None] + host["rdelta"][ids][:, None] * res.astype(np.float32)
+            w = min(x.shape[1], r.shape[1])  # widths differ only by pack pad
+            x = x[:, :w] + r[:, :w]
+        return x
+
     def get_distance_from(self, label: int, blob: np.ndarray) -> float:
         ids = self.labels.ids_of(label)
         if not ids:
             return float("nan")
-        if self.is_sq8:
+        if self.quantized:
             q, _, qm = self.preprocess_queries(np.asarray(blob).reshape(1, -1))
-            best = np.inf
-            for i in ids:
-                codes = self.store.host["data"][i].astype(np.float32)
-                vmin = np.float32(self.store.host["vmin"][i])
-                delta = np.float32(self.store.host["delta"][i])
-                ip = vmin * qm[0][0] + delta * float(codes @ q[0])
-                if self.metric == VecSimMetric.L2:
-                    d = float(self.store.host["sqnorm"][i] - 2 * ip + qm[1][0])
-                else:
-                    d = float(1.0 - ip)
-                best = min(best, d)
-            return best
+            x = self._decode_host(ids)  # [n, >=dim]
+            qrow = np.zeros(x.shape[1], dtype=np.float32)
+            qrow[: q.shape[1]] = q[0]
+            ip = x @ qrow
+            if self.metric == VecSimMetric.L2:
+                sq_field = "rsq" if self.is_leanvec else "sqnorm"
+                xsq = self.store.host[sq_field][np.asarray(ids)]
+                return float(np.min(xsq - 2.0 * ip + qm[1][0]))
+            return float(np.min(1.0 - ip))
         q, qnorms, _ = self.preprocess_queries(np.asarray(blob).reshape(1, -1))
         qn = None if qnorms is None else qnorms[0]
         return min(self.host_distance(i, q[0], qn) for i in ids)
@@ -712,6 +880,7 @@ class SVSIndex(DeviceVectorIndex):
                 constructionWindowSize=self.L_build,
                 numberOfMarkedDeletedNodes=self.num_marked_deleted,
                 searchWindowSize=self.ws,
+                leanvecDim=self.pdim if self.is_leanvec else 0,
                 epsilon=self.epsilon,
             ),
         )

@@ -42,6 +42,8 @@ class SVSBatchIterator:
         idx = self.index
         ws = min(self._ws, max(idx.index_size, 1))
         dists, ids = idx.search_knn(self.query, min(ws, idx.index_size), ws)
+        if getattr(idx, "res_bits", 0):
+            dists, ids = idx._refine(np.atleast_2d(self.query), dists, ids)
         row_i, row_d = ids[0], dists[0]
         valid = (row_i >= 0) & np.isfinite(row_d)
         row_i, row_d = row_i[valid], row_d[valid]

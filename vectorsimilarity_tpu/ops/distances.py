@@ -204,6 +204,30 @@ def scores_sq8(
     return xsumsq[None, :] - 2.0 * ip + ysumsq
 
 
+def scores_sq4(
+    queries: jax.Array,
+    packed: jax.Array,
+    vmin: jax.Array,
+    delta: jax.Array,
+    xsumsq: jax.Array | None,
+    metric: VecSimMetric,
+) -> jax.Array:
+    """Asymmetric 4-bit (LVQ level-1) distance matrix [B, N].
+
+    Storage is two codes per byte (``quantize.pack4`` split layout); the
+    unpack is one shift+mask on the VPU before the same MXU matmul as the
+    SQ8 lane, so the HBM read per stored vector is HALF the SQ8 bytes —
+    the whole point of the reference's LVQ4 mode.
+    """
+    from .quantize import unpack4
+
+    codes = unpack4(packed)
+    if queries.shape[-1] != codes.shape[-1]:  # odd dim: zero-pad the query
+        pad = codes.shape[-1] - queries.shape[-1]
+        queries = jnp.pad(queries, ((0, 0), (0, pad)))
+    return scores_sq8(queries, codes, vmin, delta, xsumsq, metric)
+
+
 # ---------------------------------------------------------------------------
 # Pairwise distance between two single vectors (GetDistanceFrom parity)
 # ---------------------------------------------------------------------------
@@ -376,6 +400,16 @@ def streaming_topk(
                 chunk_view(xsumsq, c),
                 metric,
             )
+        if kind == "sq4":
+            codes, vmin, delta, xsumsq = padded
+            return scores_sq4(
+                queries,
+                chunk_view(codes, c),
+                chunk_view(vmin, c),
+                chunk_view(delta, c),
+                chunk_view(xsumsq, c),
+                metric,
+            )
         raise ValueError(f"unknown store kind {kind!r}")
 
     inf = jnp.inf
@@ -436,6 +470,9 @@ def full_scores(
     elif kind == "sq8":
         codes, vmin, delta, xsumsq = store
         d = scores_sq8(queries, codes, vmin, delta, xsumsq, metric)
+    elif kind == "sq4":
+        codes, vmin, delta, xsumsq = store
+        d = scores_sq4(queries, codes, vmin, delta, xsumsq, metric)
     else:
         raise ValueError(f"unknown store kind {kind!r}")
     ids = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)

@@ -44,6 +44,9 @@ class StoreCtx(NamedTuple):
                   vmin/delta [N] f32 quantization params; queries stay float
                   and carry (Σy, Σy²) via the kernels' ``q_meta`` argument
                   (asymmetric distance, spaces/IP/IP.cpp:35-71)
+    kind="sq4":   data [N,ceil(D/2)] packed 4-bit codes (two per byte,
+                  ``ops.quantize.pack4`` split layout); otherwise as sq8 —
+                  gathers unpack in-kernel, halving HBM bytes per neighbor
 
     ``nav`` is an optional bf16 shadow of ``data`` (float kinds only): graph
     NAVIGATION gathers read it instead of the fp32 rows — random row
@@ -91,7 +94,13 @@ def gathered_dists(
         vsq = jnp.take(ctx.sqnorm, ids, axis=0)
         return qsq[:, None] - 2.0 * ip + vsq
     vecs = jnp.take(ctx.data, ids, axis=0)  # [B, M, D]
-    if kind == "sq8":
+    if kind in ("sq8", "sq4"):
+        if kind == "sq4":
+            from .quantize import unpack4
+
+            vecs = unpack4(vecs)  # [B, M, 2H] codes in [0,15]
+            if q.shape[-1] != vecs.shape[-1]:  # odd dim: zero-pad query
+                q = jnp.pad(q, ((0, 0), (0, vecs.shape[-1] - q.shape[-1])))
         ysum, ysumsq = q_meta
         qdot = jnp.einsum(
             "bd,bmd->bm", q.astype(jnp.float32), vecs.astype(jnp.float32),
@@ -462,7 +471,11 @@ def diversity_prune_impl(
     metric_v = VecSimMetric(metric)
 
     v = jnp.take(ctx.data, safe, axis=0)  # [B, c_eff, D]
-    if kind == "sq8":
+    if kind in ("sq8", "sq4"):
+        if kind == "sq4":
+            from .quantize import unpack4
+
+            v = unpack4(v)
         vmin = jnp.take(ctx.vmin, safe, axis=0)
         delta = jnp.take(ctx.delta, safe, axis=0)
         v = vmin[:, :, None] + delta[:, :, None] * v.astype(jnp.float32)

@@ -37,6 +37,12 @@ from ..types import VecSimMetric, VecSimSvsQuantBits
 
 V0 = 0  # SVSSerializer::EncodingVersion::V0
 
+# Per-row store fields persisted alongside the codes (quantization scales,
+# two-level residual codes, norms, multi-value slots).
+_PER_ROW_FIELDS = (
+    "vmin", "delta", "sqnorm", "norm", "slot", "res", "rvmin", "rdelta", "rsq",
+)
+
 # VecSimSvsQuantBits -> (QuantBits, ResidualBits, IsLeanVec) template
 # parameters, as instantiated by svs_factory.cpp:70-87.
 _TEMPLATE_PARAMS = {
@@ -172,9 +178,11 @@ def save_svs_folder(index, location: str) -> None:
         "label": host["label"][:count],
         "flags": host["flags"][:count],
     }
-    for f in ("vmin", "delta", "sqnorm", "norm", "slot"):
+    for f in _PER_ROW_FIELDS:
         if f in index.store.fields:
             data_fields[f] = host[f][:count]
+    if getattr(index, "_P_host", None) is not None:
+        data_fields["leanvec_P"] = index._P_host  # [dim, leanvec_dim]
     np.savez(loc / "data", **data_fields)
     # np.savez appends .npz; the reference uses bare names — rename.
     for name in ("graph", "data"):
@@ -202,9 +210,14 @@ def load_svs_folder(index, location: str) -> None:
     store = index.store
     rows = {"data": data["data"], "label": data["label"], "flags": data["flags"],
             "links": links, "nlinks": nlinks}
-    for f in ("vmin", "delta", "sqnorm", "norm", "slot"):
+    for f in _PER_ROW_FIELDS:
         if f in store.fields and f in data:
             rows[f] = data[f]
+    if "leanvec_P" in data:
+        import jax.numpy as jnp
+
+        index._P_host = data["leanvec_P"]
+        index._P = jnp.asarray(index._P_host)
     ids = store.append(rows)
     assert len(ids) == count
 
