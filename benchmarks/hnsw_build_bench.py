@@ -89,8 +89,11 @@ def main():
         type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.Cosine,
         M=args.m, efConstruction=args.efc, initialCapacity=n))
     t0 = time.perf_counter()
-    idx.bulk_build_device(data[:cap], n=n, batch=args.batch,
-                          scan_batches=args.scan_batches)
+    # Both data branches above produce unit rows, so the build adopts the
+    # SAME buffer instead of a normalized 3 GB clone (OOM headroom at 1M).
+    idx.bulk_build_device(data, n=n, batch=args.batch,
+                          scan_batches=args.scan_batches,
+                          assume_normalized=True)
     dropped = idx.build_dropped()  # forces the whole build chain
     build_s = time.perf_counter() - t0
     emit(event="hnsw_build", n=n, M=args.m, efC=args.efc,

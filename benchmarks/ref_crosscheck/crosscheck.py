@@ -81,7 +81,7 @@ def cmd_ours(n, efs, save=None):
                                metric=VecSimMetric.Cosine, M=16,
                                efConstruction=200, initialCapacity=n))
     t0 = time.perf_counter()
-    idx.bulk_build_device(data, n=n, batch=1024)
+    idx.bulk_build_device(data, n=n, batch=1024, assume_normalized=True)
     dt = time.perf_counter() - t0
     print(json.dumps({"event": "our_build", "n": n, "M": 16, "efC": 200,
                       "seconds": round(dt, 1),

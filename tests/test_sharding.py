@@ -82,6 +82,39 @@ def test_query_parallel_hnsw_search(mesh):
         assert set(ids[b][:k].tolist()) == set(i0[b][:k].tolist())
 
 
+def test_query_sharded_graph_index_api(mesh):
+    """to_query_sharded: graph indexes serve topk_query_batch with the
+    query batch sharded over the mesh — same results as single-device,
+    odd batch sizes padded to the mesh multiple transparently."""
+    from vectorsimilarity_tpu import (
+        HNSWParams, SVSParams, VecSimAlgo, VecSimMetric, VecSimParams,
+        VecSimType, create_index,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 400, 16, 5
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((13, dim)).astype(np.float32)  # odd batch
+
+    hnsw = create_index(VecSimParams(algo=VecSimAlgo.HNSWLIB, hnswParams=HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        M=8, efConstruction=80, efRuntime=40)))
+    hnsw.add_vector_batch(data, list(range(n)))
+    base = [r.ids.tolist() for r in hnsw.topk_query_batch(queries, k)]
+    hnsw.to_query_sharded(mesh)
+    for b, rep in enumerate(hnsw.topk_query_batch(queries, k)):
+        assert rep.ids.tolist() == base[b]
+
+    svs = create_index(VecSimParams(algo=VecSimAlgo.SVS, svsParams=SVSParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        graph_max_degree=16, construction_window_size=80, search_window_size=40)))
+    svs.add_vector_batch(data, list(range(n)))
+    base = [r.ids.tolist() for r in svs.topk_query_batch(queries, k)]
+    svs.to_query_sharded(mesh)
+    for b, rep in enumerate(svs.topk_query_batch(queries, k)):
+        assert rep.ids.tolist() == base[b]
+
+
 def test_sharded_index_lifecycle(mesh):
     """add -> delete -> query through BruteForceIndex.to_sharded: full index
     semantics (labels, swap-with-last, growth re-shard) on a sharded store."""

@@ -186,6 +186,48 @@ class DeviceVectorIndex(VecSimIndexBase):
         return (dev["data"], dev.get("sqnorm"))
 
     # ------------------------------------------------------------------
+    # Multi-chip query-parallel serving (graph indexes)
+    # ------------------------------------------------------------------
+
+    _qmesh = None
+
+    def to_query_sharded(self, mesh):
+        """Serve every search with the query batch sharded over ``mesh``
+        (store/graph replicated): each chip beams its slice of the batch —
+        the graph-index scale-out axis (SURVEY §2 TPU-native equivalent;
+        a proximity graph scales over QUERIES, while the flat scan shards
+        DATA rows — ``BruteForceIndex.to_sharded``)."""
+        with self._lock:
+            self._qmesh = mesh
+        return self
+
+    def _maybe_shard_queries(self, q: np.ndarray, qnorms):
+        """Pad the (already pow2-padded) query batch to the mesh multiple
+        and place it sharded; GSPMD batch-partitions the jitted search
+        kernels from the input sharding alone."""
+        if self._qmesh is None:
+            return q, qnorms
+        from ..parallel.sharding import AXIS
+
+        s = self._qmesh.shape[AXIS]
+        pad = (-len(q)) % s
+        if pad:
+            q = np.concatenate([q, np.repeat(q[-1:], pad, axis=0)])
+            if qnorms is not None:
+                qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], pad)])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        import jax.numpy as jnp
+
+        spec = NamedSharding(self._qmesh, P(AXIS, None))
+        q = jax.device_put(jnp.asarray(q), spec)
+        if qnorms is not None:
+            qnorms = jax.device_put(
+                jnp.asarray(qnorms), NamedSharding(self._qmesh, P(AXIS))
+            )
+        return q, qnorms
+
+    # ------------------------------------------------------------------
     # Host-side exact distance (GetDistanceFrom parity)
     # ------------------------------------------------------------------
 

@@ -429,6 +429,7 @@ class HNSWIndex(DeviceVectorIndex):
         *,
         batch: Optional[int] = None,
         scan_batches: Optional[int] = None,
+        assume_normalized: bool = False,
     ) -> None:
         """Build the whole index from a device-resident dataset.
 
@@ -488,7 +489,12 @@ class HNSWIndex(DeviceVectorIndex):
                     )
             else:
                 dd = data.astype(self.store.fields["data"].device_dtype)
-                if self.metric == VecSimMetric.Cosine:
+                if self.metric == VecSimMetric.Cosine and not assume_normalized:
+                    # ``assume_normalized`` skips this copy: at 1M x 768 the
+                    # normalized clone is an extra 3 GB of HBM held for the
+                    # whole build on top of the caller's original — enough
+                    # to tip a 16 GB chip into OOM with the nav shadow and
+                    # construction transients resident.
                     nrm = jnp.linalg.norm(
                         dd.astype(jnp.float32), axis=1, keepdims=True
                     )
@@ -1164,6 +1170,7 @@ class HNSWIndex(DeviceVectorIndex):
             q = np.concatenate([q, np.repeat(q[-1:], bpad - nq, axis=0)])
             if qnorms is not None:
                 qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], bpad - nq)])
+        q, qnorms = self._maybe_shard_queries(q, qnorms)
         qd = jnp.asarray(q)
         qn = None if qnorms is None else jnp.asarray(qnorms)
         bd, bi = self._device_search(qd, qn, k, ef)
@@ -1217,6 +1224,7 @@ class HNSWIndex(DeviceVectorIndex):
             q = np.concatenate([q, np.repeat(q[-1:], bpad - nq, axis=0)])
             if qnorms is not None:
                 qnorms = np.concatenate([qnorms, np.repeat(qnorms[-1:], bpad - nq)])
+        q, qnorms = self._maybe_shard_queries(q, qnorms)
         return jnp.asarray(q), None if qnorms is None else jnp.asarray(qnorms), nq
 
     def _search_knn_segmented(self, queries: np.ndarray, k: int, ef: int, budget):

@@ -623,6 +623,14 @@ class SVSIndex(DeviceVectorIndex):
                 qmeta = tuple(np.concatenate([m, np.repeat(m[-1:], pad)]) for m in qmeta)
         dev = self.store.device_arrays()
         ctx = self._ctx(dev)
+        if self._qmesh is not None:
+            q, qnorms = self._maybe_shard_queries(q, qnorms)
+            bpad = len(q)
+            if qmeta is not None and qmeta[0].shape[0] != bpad:
+                qmeta = tuple(
+                    np.concatenate([m, np.repeat(m[-1:], bpad - m.shape[0])])
+                    for m in qmeta
+                )
         qd = jnp.asarray(q)
         qn = None if qnorms is None else jnp.asarray(qnorms)
         qm = None if qmeta is None else tuple(jnp.asarray(m) for m in qmeta)
