@@ -120,3 +120,81 @@ def test_bf16_store_native_lane():
     rd, _ = _ref_topk(np.asarray(q, np.float32), np.asarray(data, np.float32),
                       n, k, VecSimMetric.Cosine)
     assert np.allclose(np.asarray(pd), rd, atol=2e-2)  # bf16 storage error
+
+
+# ---------------------------------------------------------------------------
+# Big-k path: per-tile local top-c + XLA merge (pallas_topk_bigk)
+# ---------------------------------------------------------------------------
+
+from vectorsimilarity_tpu.ops.pallas.bf_topk import pallas_topk_bigk
+
+
+@pytest.mark.parametrize("metric", [VecSimMetric.Cosine, VecSimMetric.L2])
+def test_bigk_parity(metric):
+    n, d, b, k = 2048, 32, 4, 300
+    q, data = _mk(n, d, b, seed=6)
+    sqn = jnp.sum(data.astype(jnp.float32) ** 2, axis=1)
+    pd, pi, trunc = pallas_topk_bigk(q, data, sqn, jnp.int32(n), k,
+                                     metric=metric, tile_n=128, local_c=64,
+                                     interpret=True)
+    assert not bool(np.asarray(trunc).any())
+    rd, ri = _ref_topk(q, data, n, k, metric)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert np.allclose(pd, rd, atol=5e-4)
+    assert (np.diff(pd, axis=1) >= -1e-7).all()
+    for row in pi:
+        assert len(set(row.tolist())) == k
+
+
+def test_bigk_truncation_flag_fires():
+    # Adversarial row order: the best k rows all land in ONE tile, so that
+    # tile must contribute > local_c entries -> the flag must fire (the
+    # caller falls back to the exact streaming path).
+    rng = np.random.default_rng(7)
+    d = 16
+    target = rng.standard_normal(d).astype(np.float32)
+    target /= np.linalg.norm(target)
+    near = target[None, :] + 0.01 * rng.standard_normal((64, d)).astype(np.float32)
+    far = rng.standard_normal((192, d)).astype(np.float32)
+    data = np.concatenate([near, far]).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    q = jnp.asarray(target[None, :])
+    pd, pi, trunc = pallas_topk_bigk(q, jnp.asarray(data), None, jnp.int32(256),
+                                     40, metric=VecSimMetric.Cosine,
+                                     tile_n=64, local_c=16, interpret=True)
+    assert bool(np.asarray(trunc).any())
+
+
+def test_bigk_count_mask_and_short_index():
+    n, d, b, k = 512, 32, 2, 200
+    q, data = _mk(n, d, b, seed=8)
+    count = 150  # fewer live rows than k: exact prefix + trunc-or-inf tail
+    pd, pi, trunc = pallas_topk_bigk(q, data, None, jnp.int32(count), k,
+                                     metric=VecSimMetric.Cosine,
+                                     tile_n=128, local_c=128, interpret=True)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    if not bool(np.asarray(trunc).any()):
+        rd, _ = _ref_topk(q, data, count, count, VecSimMetric.Cosine)
+        assert np.allclose(pd[:, :count], rd, atol=5e-4)
+        assert (pi[:, count:] == -1).all()
+
+
+def test_bigk_engine_integration():
+    """BruteForceIndex routes k>pallas_max_k through the big-k kernel when
+    forced on (interpret on CPU is exercised at kernel level above; here we
+    check the fallback correctness contract end-to-end on the CPU path)."""
+    from vectorsimilarity_tpu import (
+        BFParams, VecSimAlgo, VecSimMetric as M, VecSimParams, VecSimType,
+        create_index,
+    )
+
+    rng = np.random.default_rng(9)
+    n, dim, k = 3000, 24, 200
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = create_index(VecSimParams(algo=VecSimAlgo.BF, bfParams=BFParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=M.L2)))
+    idx.add_vector_batch(data, list(range(n)))
+    q = rng.standard_normal(dim).astype(np.float32)
+    rep = idx.topk_query(q, k)
+    want = np.argsort(((data - q) ** 2).sum(1))[:k]
+    assert rep.ids.tolist() == want.tolist()

@@ -56,14 +56,19 @@ beam_iter_base: int = 64
 timeout_poll_rows: int = 1 << 18
 timeout_poll_iters: int = 32
 pallas_tile_n: int = 4096
-# "auto" hands k > pallas_max_k to the XLA streaming path: the kernel's
-# multipass k>128 chain is exact but its O(k) in-VMEM merge makes it slower
-# than XLA's sort-based selection there (measured 2.6 s vs 1.8 s per 1024 x
-# 1M batch at k=512); "always" still forces the multipass kernel.
+# "auto" hands k > pallas_max_k to the LOCAL-TOP-C Pallas path
+# (``pallas_topk_bigk``): the single-buffer kernel's O(k) in-VMEM merge is
+# slower than XLA's sort-based selection past ~128 (measured 2.6 s vs 1.8 s
+# per 1024 x 1M batch at k=512); "always" still forces the multipass
+# single-buffer kernel for k > pallas_max_k.
 pallas_max_k: int = 128
+# Per-tile survivor count for the big-k path; exactness is verified by the
+# kernel's truncation flag (fallback to streaming on the ~never case).
+pallas_local_c: int = 32
+pallas_bigk_max: int = 2048
 
 
-def pallas_enabled(kind: str, k: int, capacity: int, dtype=None) -> bool:
+def _pallas_common(kind: str, capacity: int, dtype=None) -> bool:
     if use_pallas == "never":
         return False
     if kind != "float":
@@ -76,11 +81,36 @@ def pallas_enabled(kind: str, k: int, capacity: int, dtype=None) -> bool:
         # The kernel's top in-MXU precision is bf16_3x (== XLA HIGH); exact
         # fp32 requests stay on the XLA path.
         return False
-    if use_pallas == "always":
-        return True
-    if k > pallas_max_k:
-        return False
+    return True
+
+
+def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform not in ("cpu",)
     except Exception:  # pragma: no cover
         return False
+
+
+def pallas_enabled(kind: str, k: int, capacity: int, dtype=None) -> bool:
+    if not _pallas_common(kind, capacity, dtype):
+        return False
+    if use_pallas == "always":
+        return True
+    if k > pallas_max_k:
+        return False
+    return _on_tpu()
+
+
+def pallas_bigk_enabled(kind: str, k: int, capacity: int, dtype=None) -> bool:
+    """Gate for the per-tile local-top-c kernel (k in (max_k, bigk_max])."""
+    if not _pallas_common(kind, capacity, dtype):
+        return False
+    if use_pallas == "always":
+        return False  # "always" pins the single-buffer/multipass kernel
+    if not (pallas_max_k < k <= pallas_bigk_max):
+        return False
+    # Enough tiles of survivors to cover k without raising c per-call.
+    n_tiles = max(capacity // pallas_tile_n, 1)
+    if n_tiles * pallas_local_c < k:
+        return False
+    return _on_tpu()

@@ -220,6 +220,21 @@ class BruteForceIndex(DeviceVectorIndex):
                     metric=self.metric,
                     tile_n=min(config.pallas_tile_n, self.store.capacity),
                 )
+            if config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
+                                          self.store.fields["data"].device_dtype):
+                from ..ops.pallas.bf_topk import pallas_topk_bigk
+
+                data, sqn = self.store_tuple(dev)
+                bd, bi, trunc = pallas_topk_bigk(
+                    qd, data, sqn, jnp.int32(count), kpad,
+                    metric=self.metric,
+                    tile_n=min(config.pallas_tile_n, self.store.capacity),
+                    local_c=config.pallas_local_c,
+                )
+                if not bool(jnp.any(trunc)):
+                    return bd, bi
+                # A tile filled every survivor slot inside the top-k
+                # (possible hidden candidates): exact streaming fallback.
             return streaming_topk(
                 qd,
                 self.store_tuple(dev),
@@ -266,6 +281,25 @@ class BruteForceIndex(DeviceVectorIndex):
                 metric=self.metric,
                 tile_n=min(config.pallas_tile_n, self.store.capacity),
             )
+        elif config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
+                                        self.store.fields["data"].device_dtype):
+            from ..ops.pallas.bf_topk import pallas_topk_bigk
+
+            data, sqn = self.store_tuple(dev)
+            dists, ids, trunc = pallas_topk_bigk(
+                jnp.asarray(q), data, sqn, jnp.int32(count), kk,
+                metric=self.metric,
+                tile_n=min(config.pallas_tile_n, self.store.capacity),
+                local_c=config.pallas_local_c,
+            )
+            if bool(jnp.any(trunc)):
+                # Rare exactness fallback (see pallas_topk_bigk docstring).
+                dists, ids = streaming_topk(
+                    jnp.asarray(q), self.store_tuple(dev), jnp.int32(count),
+                    kpad, metric=self.metric, kind=self.store_kind,
+                    chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
+                    query_norms=None if qnorms is None else jnp.asarray(qnorms),
+                )
         else:
             dists, ids = streaming_topk(
                 jnp.asarray(q),
