@@ -32,7 +32,12 @@ fp32_matmul_precision: str = "high"  # "highest" | "high"
 # to the host-orchestrated path (kept as the semantics reference).
 graph_build_device: bool = True
 build_batch: int = 1024  # max rows per connect_batch dispatch (pow2)
-build_scan_batches: int = 64  # batches fused per build_scan dispatch (bulk)
+# Batches fused per build_scan dispatch (bulk). Short programs on purpose:
+# the relay-backed TPU worker kills sessions running multi-minute single
+# XLA executions (1M builds crashed reproducibly in the second ~6-min
+# 32-batch segment); 4-batch programs (~9 s at 1M x 768) are stable and
+# measured rate-neutral (411 v/s either way, docs/benchmarks.md round 3).
+build_scan_batches: int = 4
 build_reverse_cap: int = 16  # new back-edges joining one row's re-prune
 build_beam_expand: int = 4  # candidates popped per construction-beam iteration
 # bf16 navigation shadow for fp32 stores: construction beams gather half the
