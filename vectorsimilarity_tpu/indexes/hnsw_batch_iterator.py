@@ -62,6 +62,15 @@ class HNSWBatchIterator:
             self._state = None
             self._snapshot = snap
         ef = min(self._ef, max(idx.index_size, 1))
+        if ef >= idx.index_size:
+            # Terminal full-width pass runs FRESH: a resumed beam cannot
+            # recover nodes that were scored-then-evicted in an earlier
+            # narrower pass (their visited bits suppress re-scoring) — the
+            # reference keeps those in its spillover heap
+            # (hnsw_batch_iterator.h:206-249); a fresh index-wide beam
+            # reaches every connected node, restoring the same completeness
+            # guarantee at depletion.
+            self._state = None
         dists, ids, self._state = idx.search_resumable(
             self.query, min(ef, idx.index_size), ef, self._state
         )
