@@ -241,9 +241,15 @@ def main() -> None:
                 "unit": "qps",
                 "vs_baseline": round(qps / cpu_qps, 2),
                 "host_api_qps": round(host_qps, 2),
-                "engine": "pallas" if vs_config.pallas_enabled(
-                    kind, k, idx.store.capacity,
-                    idx.store.fields["data"].device_dtype) else "xla",
+                "engine": (
+                    "pallas" if vs_config.pallas_enabled(
+                        kind, k, idx.store.capacity,
+                        idx.store.fields["data"].device_dtype)
+                    else "pallas-bigk" if vs_config.pallas_bigk_enabled(
+                        kind, k, idx.store.capacity,
+                        idx.store.fields["data"].device_dtype)
+                    else "xla"
+                ),
             }
         )
     )

@@ -86,11 +86,6 @@ def cmd_ours(n, efs, save=None):
     print(json.dumps({"event": "our_build", "n": n, "M": 16, "efC": 200,
                       "seconds": round(dt, 1),
                       "vectors_per_sec": round(n / dt, 1)}), flush=True)
-    if save:
-        from vectorsimilarity_tpu.utils.hnsw_file_format import save_hnsw_file
-
-        save_hnsw_file(idx, save)
-        print(f"# saved our graph to {save}", file=sys.stderr, flush=True)
     for ef in efs:
         tq = time.perf_counter()
         _, ids = idx.search_knn(queries, K, ef)
@@ -98,6 +93,16 @@ def cmd_ours(n, efs, save=None):
         print(json.dumps({"event": "our_topk", "ef": ef, "k": K,
                           "recall": round(_recall(np.asarray(ids), gt), 4),
                           "qps": round(Q / qs, 1)}), flush=True)
+    if save:
+        from vectorsimilarity_tpu.utils.hnsw_file_format import save_hnsw_file
+
+        # The stored vectors are byte-identical to the dump (generated with
+        # the same keys and adopted un-copied via assume_normalized), so the
+        # export reads them from the dump file instead of pulling ~3 GB
+        # through the relay (which stalls; store.pull_host docstring).
+        vecs = np.fromfile(DATA, np.float32).reshape(n, DIM)
+        save_hnsw_file(idx, save, vectors_from=vecs)
+        print(f"# saved our graph to {save}", file=sys.stderr, flush=True)
 
 
 def cmd_cross(path, efs):

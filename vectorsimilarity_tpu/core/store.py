@@ -310,8 +310,19 @@ class BlockStore:
             self._host_stale -= set(names)
             return
         for name in names:
-            rows = np.asarray(self._device[name][: self.count])
-            self.host[name][: self.count] = rows.astype(self.fields[name].dtype, copy=False)
+            # Pull in bounded slices: the axon relay stalls indefinitely on
+            # multi-GB single-array reads (observed on a 3 GB vector pull at
+            # 1M x 768); ~32 MB chunks stream reliably and cost nothing on
+            # directly attached chips.
+            spec = self.fields[name]
+            row_bytes = max(int(np.prod(spec.shape, initial=1))
+                            * np.dtype(spec.device_dtype).itemsize, 1)
+            step = max((32 << 20) // row_bytes, 1)
+            dev = self._device[name]
+            for lo in range(0, self.count, step):
+                hi = min(lo + step, self.count)
+                rows = np.asarray(dev[lo:hi])
+                self.host[name][lo:hi] = rows.astype(spec.dtype, copy=False)
         self._host_stale -= set(names)
 
     def mark_host_stale(self, *fields: str) -> None:

@@ -63,6 +63,7 @@ from ..types import (
     VecSearchMode,
     VecSimAlgo,
     VecSimIndexDebugInfo,
+    VecSimOptionMode,
     VecSimIndexStatsInfo,
     VecSimMetric,
     VecSimQueryParams,
@@ -886,8 +887,17 @@ class SVSIndex(DeviceVectorIndex):
                 alpha=self.alpha,
                 graphMaxDegree=self.R,
                 constructionWindowSize=self.L_build,
+                # Reference defaults when unset (svs_utils.h:114-115):
+                # candidate pool = 3x window, prune_to = degree (our pruner
+                # prunes exactly to R).
+                maxCandidatePoolSize=self.params.max_candidate_pool_size
+                or 3 * self.L_build,
+                pruneTo=self.params.prune_to or self.R,
+                useSearchHistory=self.params.use_search_history
+                != VecSimOptionMode.DISABLE,
                 numberOfMarkedDeletedNodes=self.num_marked_deleted,
                 searchWindowSize=self.ws,
+                searchBufferCapacity=self.params.search_buffer_capacity or self.ws,
                 leanvecDim=self.pdim if self.is_leanvec else 0,
                 epsilon=self.epsilon,
             ),

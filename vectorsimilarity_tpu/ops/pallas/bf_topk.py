@@ -351,8 +351,8 @@ def _make_tile_topc_kernel(metric, c, tile_n, with_sqnorm, mode):
             return cur, new_d, new_i
 
         _, new_d, new_i = jax.lax.fori_loop(0, c, step, (s, new_d, new_i))
-        outd_ref[:] = new_d[:, None, :]
-        outi_ref[:] = new_i[:, None, :]
+        outd_ref[:] = new_d[None, :, :]
+        outi_ref[:] = new_i[None, :, :]
 
     return kernel
 
@@ -420,13 +420,16 @@ def pallas_topk_bigk(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
+        # Tile-major output: Mosaic requires the block's last two dims to
+        # tile cleanly (divisible by 8/128 or equal to the array dims), so
+        # each grid step owns a full [1, B, c] leading-axis slab.
         out_specs=(
-            pl.BlockSpec((B, 1, c), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, c), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, n_tiles, c), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_tiles, c), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, B, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, B, c), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * N * (3 if mode == "bf16_3x" else 1),
@@ -437,6 +440,8 @@ def pallas_topk_bigk(
         interpret=interpret,
     )(*args)
 
+    local_d = jnp.swapaxes(local_d, 0, 1)  # [B, n_tiles, c]
+    local_i = jnp.swapaxes(local_i, 0, 1)
     flat_d = local_d.reshape(B, n_tiles * c)
     flat_i = local_i.reshape(B, n_tiles * c)
     neg, pos = jax.lax.top_k(-flat_d, k)

@@ -195,13 +195,24 @@ def load_hnsw_file(path: str):
     return index
 
 
-def save_hnsw_file(index, path: str, version: int = V4) -> None:
-    """Export an HNSWIndex to the reference binary format."""
+def save_hnsw_file(index, path: str, version: int = V4,
+                   vectors_from=None) -> None:
+    """Export an HNSWIndex to the reference binary format.
+
+    ``vectors_from`` (np [count, dim], the STORED representation — i.e.
+    normalized for cosine) substitutes for the store's vector column so a
+    device-resident build can be exported without pulling the multi-GB
+    vector array through the relay (the caller often already holds the
+    exact bytes it fed ``bulk_build_device``)."""
     if version not in (V3, V4):
         raise ValueError(f"unsupported version {version}")
     # Device-resident builds (bulk_build_device) leave host mirrors stale;
     # serialization is a host path, so materialize them first.
-    index.store.pull_host()
+    if vectors_from is not None:
+        index.store.pull_host(
+            *[f for f in tuple(index.store._host_stale) if f != "data"])
+    else:
+        index.store.pull_host()
     index.upper.pull_host()
     count = index.store.count
     out = bytearray()
@@ -230,7 +241,11 @@ def save_hnsw_file(index, path: str, version: int = V4) -> None:
     for i in range(count):
         out += pk("<QB", int(labels[i]), int(flags[i]))
 
-    data = index.store.host["data"][:count]
+    if vectors_from is not None:
+        data = np.asarray(vectors_from)[:count].astype(
+            index.store.fields["data"].dtype, copy=False)
+    else:
+        data = index.store.host["data"][:count]
     has_norm_tail = "norm" in index.store.fields
     bs = index.block_size
     if version == V3:
