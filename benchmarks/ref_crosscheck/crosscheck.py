@@ -105,12 +105,23 @@ def cmd_ours(n, efs, save=None):
         print(f"# saved our graph to {save}", file=sys.stderr, flush=True)
 
 
-def cmd_cross(path, efs):
+def cmd_cross(path, efs, regen=False):
     from vectorsimilarity_tpu.utils.hnsw_file_format import load_hnsw_file
 
     queries = np.fromfile(QF, np.float32).reshape(Q, DIM)
     gt = np.fromfile(GTF, np.int32).reshape(Q, K)
-    idx = load_hnsw_file(path)
+    dev_data = None
+    if regen:
+        # The stored vectors are byte-identical to the dump recipe (both
+        # engines normalize an already-normalized embedding_like draw), so
+        # regenerate them on device instead of uploading ~3 GB through the
+        # relay host link; only links/labels upload.
+        import jax
+        from vectorsimilarity_tpu.utils.synthetic import embedding_like
+
+        dev_data = lambda cap, count, dim: embedding_like(
+            jax.random.PRNGKey(0), cap, dim, intrinsic_dim=48)
+    idx = load_hnsw_file(path, device_data=dev_data)
     print(f"# loaded n={idx.store.count} entry={idx.entry_id} "
           f"max_level={idx.max_level}", file=sys.stderr, flush=True)
     for ef in efs:
@@ -130,6 +141,9 @@ if __name__ == "__main__":
                     help="data/query/GT file prefix (vary per scale)")
     ap.add_argument("--save", type=str, default=None,
                     help="ours: export the built graph (reference V4 binary)")
+    ap.add_argument("--regen", action="store_true",
+                    help="cross: adopt device-regenerated vectors instead of "
+                    "uploading the file's data through the relay")
     args = ap.parse_args()
     DATA = args.prefix + "data.f32"
     QF = args.prefix + "q.f32"
@@ -140,4 +154,4 @@ if __name__ == "__main__":
     elif args.cmd == "ours":
         cmd_ours(args.n, efs, save=args.save)
     else:
-        cmd_cross(args.ref_file, efs)
+        cmd_cross(args.ref_file, efs, regen=args.regen)

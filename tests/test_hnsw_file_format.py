@@ -103,3 +103,43 @@ def test_search_reference_graph_recall():
     reps = idx.topk_query_batch(q, 10, params)
     rec = np.mean([len(set(r.ids.tolist()) & set(g.tolist())) / 10 for r, g in zip(reps, gt)])
     assert rec >= 0.99, rec
+
+
+def test_load_with_device_data(tmp_path):
+    """device_data adoption: queries compute against the supplied device
+    array while host mirrors keep the file's exact contents (the relay
+    fast path — only links/labels upload)."""
+    import jax.numpy as jnp
+
+    from vectorsimilarity_tpu import (
+        HNSWParams, VecSimAlgo, VecSimMetric, VecSimParams, VecSimType, create_index,
+    )
+
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((300, 8)).astype(np.float32)
+    idx = create_index(VecSimParams(algo=VecSimAlgo.HNSWLIB, hnswParams=HNSWParams(
+        type=VecSimType.FLOAT32, dim=8, metric=VecSimMetric.L2, M=8,
+        efConstruction=60, efRuntime=30)))
+    idx.add_vector_batch(data, list(range(300)))
+    out = str(tmp_path / "dev.v4")
+    save_hnsw_file(idx, out)
+
+    calls = {}
+
+    def regen(cap, count, dim):
+        calls["shape"] = (cap, count, dim)
+        pad = np.zeros((cap, dim), np.float32)
+        pad[:count] = data  # "regenerated" bytes identical to the store
+        return jnp.asarray(pad)
+
+    idx2 = load_hnsw_file(out, device_data=regen)
+    assert calls["shape"][1:] == (300, 8)
+    assert calls["shape"][0] == idx2.store.capacity
+    # host mirror stays exact (not flagged stale by the adoption)
+    np.testing.assert_array_equal(idx2.store.host["data"][:300], data)
+    assert not idx2.store._host_stale
+    rep = idx2.topk_query(data[77], 5)
+    assert rep.ids[0] == 77
+    ref = idx.topk_query(data[77], 5)
+    assert rep.ids.tolist() == ref.ids.tolist()
+    np.testing.assert_allclose(rep.scores, ref.scores, rtol=1e-6)

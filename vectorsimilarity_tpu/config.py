@@ -48,6 +48,22 @@ build_beam_expand: int = 4  # candidates popped per construction-beam iteration
 # and query scoring is always exact.
 build_nav_bf16: bool = True
 
+# Query-side beam expansion: candidates popped per search-beam iteration.
+# The per-iteration fixed costs (neighbor gather, one lax.sort merge, loop
+# carry) dominate query latency at serving batch sizes, so E>1 runs ~E x
+# fewer while-loop iterations. Every secondary pop still requires
+# cur_d <= the current result-window worst (beam_search_impl), so this only
+# broadens exploration — recall at equal ef measures >= the E=1
+# step-for-step searchLayer stepping. E=1 restores exact stepping parity.
+search_beam_expand: int = 4
+# bf16 navigation shadow for QUERY beams (fp32 stores): traversal ranking
+# gathers half the bytes; the returned window is re-scored exactly in fp32
+# (``graph_search.exact_rerank`` — one [B, ef] gather + lex re-sort), so
+# reported distances, tie order, and the range-query radius filter stay
+# exact. Ranking perturbation is the same ~1e-3 near-tie class as
+# construction's shadow (crosschecked recall-neutral, docs/benchmarks.md).
+search_nav_bf16: bool = True
+
 # Beam-search iteration budget: max_iters = factor * ef + base. This is the
 # in-kernel analog of the reference's timeout polling — it bounds worst-case
 # latency of a single jitted search; raising it trades tail latency for

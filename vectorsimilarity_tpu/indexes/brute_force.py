@@ -323,9 +323,13 @@ class BruteForceIndex(DeviceVectorIndex):
     def _topk_single_segmented(self, qd, qnorms, dev, count, kpad, budget):
         from .. import config
 
-        chunk = max(min(_SCAN_CHUNK, self.store.capacity), kpad)
+        # The poll granularity bounds per-dispatch rows: a single scan chunk
+        # larger than timeout_poll_rows would scan past the budget before the
+        # callback can fire (the prefix contract of partial results).
+        poll = max(config.timeout_poll_rows, 1)
+        chunk = max(min(_SCAN_CHUNK, self.store.capacity, poll), kpad)
         n_chunks = max(1, -(-self.store.capacity // chunk))
-        seg = max(1, config.timeout_poll_rows // chunk)
+        seg = max(1, poll // chunk)
         best = None
         store = self.store_tuple(dev)
         qn = None if qnorms is None else jnp.asarray(qnorms)

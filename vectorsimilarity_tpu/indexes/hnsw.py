@@ -45,6 +45,7 @@ from ..ops.graph_search import (
     beam_search,
     dists_to_ids,
     diversity_prune,
+    exact_rerank,
     greedy_level,
 )
 from ..types import (
@@ -215,12 +216,16 @@ class HNSWIndex(DeviceVectorIndex):
     # ------------------------------------------------------------------
 
     def _device_ctx(self, nav: bool = False):
+        """``nav=True`` requests the bf16 navigation shadow (fp32 stores
+        only); callers pass the relevant config gate —
+        ``config.build_nav_bf16`` for construction,
+        ``config.search_nav_bf16`` for queries (which re-score their result
+        window exactly, ``graph_search.exact_rerank``)."""
         dev = self.store.device_arrays()
         udev = self.upper.device_arrays()
         nav_arr = None
         if (
             nav
-            and config.build_nav_bf16
             and self.store_kind == "float"
             and dev["data"].dtype == jnp.float32
         ):
@@ -378,7 +383,7 @@ class HNSWIndex(DeviceVectorIndex):
         ids = np.asarray(ids, dtype=np.int32)
         levels = np.asarray(levels, dtype=np.int32)
         urows = self.store.host["upper_row"][ids].astype(np.int32)
-        dev, udev, ctx = self._device_ctx(nav=True)
+        dev, udev, ctx = self._device_ctx(nav=config.build_nav_bf16)
         state = self._graph_state(dev, udev)
         kw = dict(
             efc=self.ef_construction,
@@ -546,7 +551,7 @@ class HNSWIndex(DeviceVectorIndex):
             self.upper._host_stale.discard("vec")  # host mirror already exact
 
             # --- fused construction: scan segments + pow2 tail ---
-            dev, udev, ctx = self._device_ctx(nav=True)
+            dev, udev, ctx = self._device_ctx(nav=config.build_nav_bf16)
             state = self._graph_state(dev, udev)
             kw = dict(
                 efc=self.ef_construction,
@@ -1191,7 +1196,7 @@ class HNSWIndex(DeviceVectorIndex):
     ):
         count = self.store.count
         bpad = qd.shape[0]
-        dev, udev, ctx = self._device_ctx()
+        dev, udev, ctx = self._device_ctx(nav=config.search_nav_bf16)
         if init_state is None:
             ep = self.entry_id
             cur = jnp.full((bpad,), ep, dtype=jnp.int32)
@@ -1209,12 +1214,29 @@ class HNSWIndex(DeviceVectorIndex):
             cur = jnp.zeros((bpad,), dtype=jnp.int32)
             cur_d = jnp.zeros((bpad,), dtype=jnp.float32)
         ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(count), 1))
-        return beam_search(
+        out = beam_search(
             qd, ctx, dev["links0"], None, cur, cur_d, self.store.capacity,
             ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn,
+            expand=max(config.search_beam_expand, 1),
             init_state=init_state, return_state=return_state,
             iter_budget=iter_budget,
         )
+        if ctx.nav is None:
+            return out
+        # Traversal ranked with the bf16 shadow: re-score the returned
+        # window exactly and re-sort, so every caller (topk, range filter,
+        # batch iterator) observes true fp32 distances. The resumable state
+        # keeps its traversal-order beam untouched.
+        if return_state:
+            _, bi, state, done, it = out
+            bd, bi = exact_rerank(
+                qd, bi, ctx, metric=self.metric, kind=self.store_kind, q_norm=qn
+            )
+            return bd, bi, state, done, it
+        bd, bi = exact_rerank(
+            qd, out[1], ctx, metric=self.metric, kind=self.store_kind, q_norm=qn
+        )
+        return bd, bi
 
     def _pad_queries_device(self, queries: np.ndarray):
         q, qnorms = self.preprocess_queries(queries)
@@ -1238,7 +1260,13 @@ class HNSWIndex(DeviceVectorIndex):
         with self._lock:
             qd, qn, nq = self._pad_queries_device(queries)
             seg = max(config.timeout_poll_iters, 1)
-            total = max(config.beam_iter_factor * ef + config.beam_iter_base, 64)
+            # Iterations, not expansions: each one covers `search_beam_expand`
+            # candidate pops (beam_search divides its own cap the same way).
+            total = max(
+                (config.beam_iter_factor * ef + config.beam_iter_base)
+                // max(config.search_beam_expand, 1),
+                64,
+            )
             state, completed = None, False
             bd = bi = None
             for _ in range(-(-total // seg)):

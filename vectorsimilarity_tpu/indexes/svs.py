@@ -32,6 +32,7 @@ from typing import Any, Optional
 import numpy as np
 import jax.numpy as jnp
 
+from .. import config
 from ..core.abstract_index import DeviceVectorIndex, pow2_bucket, retry_device
 from ..core.interface import TimeoutBudget
 from ..core.results import QueryReply, make_reply
@@ -648,6 +649,7 @@ class SVSIndex(DeviceVectorIndex):
         bd, bi = beam_search(
             qd, ctx, dev["links"], None, e, ed, self.store.capacity,
             ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
+            expand=max(config.search_beam_expand, 1),
         )
         return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
 

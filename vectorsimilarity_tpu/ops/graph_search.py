@@ -593,3 +593,31 @@ def dists_to_ids(
     safe = jnp.where(valid, ids, 0)
     d = gathered_dists(q, safe, ctx, metric, kind, q_norm, q_meta)
     return jnp.where(valid, d, jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "kind"))
+def exact_rerank(
+    q: jax.Array, ids: jax.Array, ctx: StoreCtx, *, metric, kind,
+    q_norm=None, q_meta=None,
+):
+    """Re-score a result window exactly and re-sort by (distance, id).
+
+    Query traversal may rank candidates with the bf16 nav shadow
+    (``config.search_nav_bf16``); this recomputes the returned rows'
+    distances against the exact store (nav stripped) and orders them
+    lexicographically, so callers always observe exact fp32 scores — the
+    reference reports the true distance for every result regardless of how
+    the beam found it (hnsw.h:1980-1987). Padded slots (id -1, d=+inf) sort
+    last. One [B, W] gather — negligible next to the search loop."""
+    ctx = StoreCtx(
+        data=ctx.data, sqnorm=ctx.sqnorm, norm=ctx.norm,
+        vmin=ctx.vmin, delta=ctx.delta, nav=None,
+    )
+    d = dists_to_ids(q, ids, ctx, metric=metric, kind=kind,
+                     q_norm=q_norm, q_meta=q_meta)
+    # Sort key 2 (id ascending) breaks exact-distance ties deterministically
+    # and pushes -1 padding behind real rows at +inf... -1 < any id, so map
+    # padding to INT32_MAX for the sort, then back.
+    sort_ids = jnp.where(ids >= 0, ids, jnp.int32(2**31 - 1))
+    d2, i2 = jax.lax.sort((d, sort_ids), num_keys=2)
+    return d2, jnp.where(i2 == 2**31 - 1, -1, i2)

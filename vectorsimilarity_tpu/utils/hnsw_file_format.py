@@ -56,8 +56,18 @@ class _Reader:
         return out
 
 
-def load_hnsw_file(path: str):
-    """Load a reference-serialized HNSW index (V3/V4) into an HNSWIndex."""
+def load_hnsw_file(path: str, device_data=None):
+    """Load a reference-serialized HNSW index (V3/V4) into an HNSWIndex.
+
+    ``device_data``: optional device-resident vector data — an array of
+    shape [store capacity bucket, dim] in the STORED representation, or a
+    callable ``(capacity, count, dim) -> jax.Array`` producing one. When
+    given, the loader adopts it as the device compute copy and uploads only
+    the graph/metadata columns (``BlockStore.adopt_device``) — the fast
+    path on relay-attached devices, where re-uploading GB-scale vectors
+    through the host link would dominate the load (links + labels are
+    ~4% of a 768-dim index's bytes). Host mirrors keep the exact file
+    contents either way."""
     from ..indexes.hnsw import HNSWIndex
 
     with open(path, "rb") as f:
@@ -192,6 +202,32 @@ def load_hnsw_file(path: str):
     index.num_marked_deleted = int(num_marked_deleted)
     index.entry_id = int(entrypoint) if entrypoint != 2**32 - 1 else -1
     index.max_level = -1 if max_level == _MAXLEVEL_NONE else int(max_level)
+
+    if device_data is not None:
+        import jax.numpy as jnp
+
+        st = index.store
+        arr = (
+            device_data(st.capacity, count, dim)
+            if callable(device_data)
+            else device_data
+        )
+        assert arr.shape[0] == st.capacity, (
+            f"device_data must be padded to the capacity bucket "
+            f"{st.capacity}, got {arr.shape[0]}"
+        )
+        adopt = {"data": arr.astype(st.fields["data"].device_dtype)}
+        for name, spec in st.fields.items():
+            if name == "data":
+                continue
+            h = st.host[name]
+            if spec.device_dtype != spec.dtype:
+                h = h.astype(spec.device_dtype)
+            adopt[name] = jnp.asarray(h)
+        st.adopt_device(adopt, count=count)
+        # adopt_device flags host mirrors stale for adopted fields; here
+        # every host column was just read from the file and stays exact.
+        st._host_stale.clear()
     return index
 
 
