@@ -49,13 +49,28 @@ build_beam_expand: int = 4  # candidates popped per construction-beam iteration
 build_nav_bf16: bool = True
 
 # Query-side beam expansion: candidates popped per search-beam iteration.
-# The per-iteration fixed costs (neighbor gather, one lax.sort merge, loop
-# carry) dominate query latency at serving batch sizes, so E>1 runs ~E x
-# fewer while-loop iterations. Every secondary pop still requires
-# cur_d <= the current result-window worst (beam_search_impl), so this only
-# broadens exploration — recall at equal ef measures >= the E=1
-# step-for-step searchLayer stepping. E=1 restores exact stepping parity.
-search_beam_expand: int = 4
+# E>1 runs fewer while-loop iterations but does E x the gather+merge work
+# per iteration; whether that nets out depends on ef (measured at 1M x 768,
+# batch 1024, docs/benchmarks.md: ef10 6109 -> 3968 QPS for E=4 — a loss;
+# ef500 562 -> 655 — a win; crossover ~ef 150-200). Every secondary pop
+# still requires cur_d <= the current result-window worst
+# (beam_search_impl), so E>1 only broadens exploration — recall at equal ef
+# measures >= the E=1 step-for-step searchLayer stepping.
+# "auto" (default) picks 1 below `search_expand_auto_ef` and 4 at/above it;
+# an int forces that expansion everywhere (1 = exact stepping parity).
+search_beam_expand = "auto"
+search_expand_auto_ef: int = 192
+
+
+def resolve_search_expand(ef: int) -> int:
+    """Per-query beam expansion for runtime ef (see search_beam_expand)."""
+    e = search_beam_expand
+    if e == "auto":
+        return 4 if ef >= search_expand_auto_ef else 1
+    return max(int(e), 1)
+
+
+
 # bf16 navigation shadow for QUERY beams (fp32 stores): traversal ranking
 # gathers half the bytes; the returned window is re-scored exactly in fp32
 # (``graph_search.exact_rerank`` — one [B, ef] gather + lex re-sort), so

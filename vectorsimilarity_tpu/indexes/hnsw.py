@@ -1217,7 +1217,7 @@ class HNSWIndex(DeviceVectorIndex):
         out = beam_search(
             qd, ctx, dev["links0"], None, cur, cur_d, self.store.capacity,
             ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn,
-            expand=max(config.search_beam_expand, 1),
+            expand=config.resolve_search_expand(ef),
             init_state=init_state, return_state=return_state,
             iter_budget=iter_budget,
         )
@@ -1260,11 +1260,11 @@ class HNSWIndex(DeviceVectorIndex):
         with self._lock:
             qd, qn, nq = self._pad_queries_device(queries)
             seg = max(config.timeout_poll_iters, 1)
-            # Iterations, not expansions: each one covers `search_beam_expand`
-            # candidate pops (beam_search divides its own cap the same way).
+            # Iterations, not expansions: each one covers the resolved beam
+            # expansion (beam_search divides its own cap the same way).
             total = max(
                 (config.beam_iter_factor * ef + config.beam_iter_base)
-                // max(config.search_beam_expand, 1),
+                // config.resolve_search_expand(ef),
                 64,
             )
             state, completed = None, False

@@ -649,7 +649,7 @@ class SVSIndex(DeviceVectorIndex):
         bd, bi = beam_search(
             qd, ctx, dev["links"], None, e, ed, self.store.capacity,
             ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
-            expand=max(config.search_beam_expand, 1),
+            expand=config.resolve_search_expand(ef),
         )
         return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
 
