@@ -41,6 +41,17 @@ def _build(n=2000, dim=32, metric=VecSimMetric.L2, seed=3):
     return idx, data, q, gt
 
 
+def test_expand_auto_policy(search_cfg):
+    """"auto" resolves to 1 below the ef threshold and 4 at/above it;
+    an int forces that expansion (floored at 1)."""
+    search_cfg.search_beam_expand = "auto"
+    t = search_cfg.search_expand_auto_ef
+    assert search_cfg.resolve_search_expand(t - 1) == 1
+    assert search_cfg.resolve_search_expand(t) == 4
+    search_cfg.search_beam_expand = 0
+    assert search_cfg.resolve_search_expand(10) == 1
+
+
 def test_expand_recall_no_regression(search_cfg):
     idx, data, q, gt = _build()
     search_cfg.search_nav_bf16 = False
