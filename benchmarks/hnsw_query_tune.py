@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--expands", default="1,4")
     ap.add_argument("--navs", default="0,1")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--thru", action="store_true",
+                    help="measure through search_knn_device (includes the "
+                    "auto sub-batch splitter + pipelined dispatches) "
+                    "instead of one raw _device_search dispatch")
     ap.add_argument("--regen", action="store_true",
                     help="adopt device-regenerated vectors (embedding_like "
                     "seed 0, the crosscheck recipe) instead of uploading the "
@@ -76,19 +80,24 @@ def main():
 
     for batch in [int(x) for x in args.batches.split(",")]:
         qd, qnd, qhost = stage(batch)
-        for expand in [int(x) for x in args.expands.split(",")]:
+        for expand in [x if x == "auto" else int(x)
+                       for x in args.expands.split(",")]:
             for nav in [int(x) for x in args.navs.split(",")]:
                 config.search_beam_expand = expand
                 config.search_nav_bf16 = bool(nav)
                 idx._nav_cache = None
                 for ef in [int(x) for x in args.efs.split(",")]:
+                    if args.thru:
+                        run = lambda: idx.search_knn_device(qd, args.k, ef, qnd)
+                    else:
+                        run = lambda: idx._device_search(qd, qnd, args.k, ef)
                     # compile + warm
-                    bd, bi = idx._device_search(qd, qnd, args.k, ef)
+                    bd, bi = run()
                     _ = np.asarray(bi[:1, :1])
                     best = np.inf
                     for _ in range(args.reps):
                         t1 = time.perf_counter()
-                        bd, bi = idx._device_search(qd, qnd, args.k, ef)
+                        bd, bi = run()
                         ids = np.asarray(bi)  # host read = device barrier
                         best = min(best, time.perf_counter() - t1)
                     nq = len(queries)
@@ -98,7 +107,7 @@ def main():
                         for b in range(min(batch, nq))
                     ]))
                     print(json.dumps({
-                        "event": "query_tune", "batch": batch,
+                        "event": "query_tune", "batch": batch, "thru": args.thru,
                         "expand": expand, "nav_bf16": bool(nav), "ef": ef,
                         "recall": round(rec, 4),
                         "qps": round(batch / best, 1),

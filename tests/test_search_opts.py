@@ -22,9 +22,11 @@ from common import recall
 
 @pytest.fixture
 def search_cfg():
-    saved = (config.search_beam_expand, config.search_nav_bf16)
+    saved = (config.search_beam_expand, config.search_nav_bf16,
+             config.search_sub_batch, config.search_sub_batch_min_ef)
     yield config
-    config.search_beam_expand, config.search_nav_bf16 = saved
+    (config.search_beam_expand, config.search_nav_bf16,
+     config.search_sub_batch, config.search_sub_batch_min_ef) = saved
 
 
 def _build(n=2000, dim=32, metric=VecSimMetric.L2, seed=3):
@@ -50,6 +52,50 @@ def test_expand_auto_policy(search_cfg):
     assert search_cfg.resolve_search_expand(t) == 4
     search_cfg.search_beam_expand = 0
     assert search_cfg.resolve_search_expand(10) == 1
+
+
+def test_sub_batch_policy(search_cfg):
+    """"auto" follows the measured schedule (no split at tiny ef, 512 at
+    mid ef, 256 at ef>=100); an int engages at/above the ef threshold and
+    rounds down to a power of two; 0 disables."""
+    search_cfg.search_sub_batch = "auto"
+    assert search_cfg.resolve_search_sub_batch(10) == 0
+    assert search_cfg.resolve_search_sub_batch(50) == 512
+    assert search_cfg.resolve_search_sub_batch(100) == 256
+    assert search_cfg.resolve_search_sub_batch(500) == 256
+    search_cfg.search_sub_batch = 300
+    t = search_cfg.search_sub_batch_min_ef
+    assert search_cfg.resolve_search_sub_batch(t - 1) == 0
+    assert search_cfg.resolve_search_sub_batch(t) == 256
+    search_cfg.search_sub_batch = 0
+    assert search_cfg.resolve_search_sub_batch(t) == 0
+
+
+def test_sub_batch_results_identical(search_cfg):
+    """Sub-dispatched searches return byte-identical per-query results:
+    beam rows are independent, so chunking the batch is exact (the whole
+    point — it only decouples while-loop stragglers)."""
+    idx, data, q, gt = _build(n=1500)
+    search_cfg.search_nav_bf16 = False
+    search_cfg.search_beam_expand = 1
+    search_cfg.search_sub_batch = 0
+    d0, i0 = idx.search_knn(q, 10, 100)
+    search_cfg.search_sub_batch = 4  # 16 queries -> 4 sub-dispatches
+    search_cfg.search_sub_batch_min_ef = 0
+    d1, i1 = idx.search_knn(q, 10, 100)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    # Device-staged entry point chunks (pipelined) with the same results.
+    import jax.numpy as jnp
+
+    qp, qn = idx.preprocess_queries(q)
+    qd = jnp.asarray(qp)
+    d2, i2 = idx.search_knn_device(qd, 10, 100)
+    np.testing.assert_array_equal(np.asarray(i0), i2[: len(q)])
+    search_cfg.search_sub_batch = 0
+    d3, i3 = idx.search_knn_device(qd, 10, 100)
+    np.testing.assert_array_equal(i2, i3)
+    np.testing.assert_array_equal(d2, d3)
 
 
 def test_expand_recall_no_regression(search_cfg):

@@ -70,6 +70,34 @@ def resolve_search_expand(ef: int) -> int:
     return max(int(e), 1)
 
 
+# Serving sub-batch for graph searches: the beam while_loop runs until
+# EVERY query in a dispatch converges, so one big batch pays the slowest
+# query's iteration count ("straggler coupling"). Measured at 1M x 768,
+# M=16/efC=200, batch-1024 workload (docs/benchmarks.md): best dispatch
+# size is 1024 at ef=10 (dispatch overhead dominates), 512 at ef=50, and
+# 256 at ef >= 100 — where splitting buys +22-42% QPS (ef500: 652 -> 924).
+# "auto" (default) applies that schedule; an int splits into chunks of
+# that many queries (rounded down to a power of two so every chunk reuses
+# one compiled shape) once ef >= search_sub_batch_min_ef; 0 disables.
+# Chunks are dispatched before any result is read back, so sub-dispatches
+# pipeline; per-query results are byte-identical (beam rows independent).
+search_sub_batch = "auto"
+search_sub_batch_min_ef: int = 64
+
+
+def resolve_search_sub_batch(ef: int) -> int:
+    """Sub-dispatch size for runtime ef (0 = no splitting)."""
+    s = search_sub_batch
+    if s == "auto":
+        if ef < 32:
+            return 0
+        return 512 if ef < 100 else 256
+    s = int(s)
+    if s <= 0 or ef < search_sub_batch_min_ef:
+        return 0
+    return 1 << (s.bit_length() - 1)
+
+
 
 # bf16 navigation shadow for QUERY beams (fp32 stores): traversal ranking
 # gathers half the bytes; the returned window is re-scored exactly in fp32

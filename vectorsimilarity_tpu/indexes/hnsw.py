@@ -1163,11 +1163,36 @@ class HNSWIndex(DeviceVectorIndex):
         Host bookkeeping is guarded by the index lock (the reference allows
         lock-free concurrent reads via per-node spinlocks; here device
         dispatch releases the GIL, so the host-side critical section is
-        short)."""
+        short).
+
+        Large batches are split into ``config.search_sub_batch``-query
+        sub-dispatches at high ef (straggler decoupling — the beam loop
+        runs until the whole dispatch converges; see config.py). Chunking
+        is exact: beam rows are independent, so per-query results are
+        byte-identical to the unsplit dispatch."""
+        queries = np.atleast_2d(queries)
+        sub = config.resolve_search_sub_batch(ef)
         with self._lock:
-            return self._search_knn_locked(queries, k, ef)
+            if not sub or len(queries) <= sub:
+                return self._search_knn_locked(queries, k, ef)
+            # Dispatch every chunk before reading any result back: jitted
+            # dispatch is async, so chunk i+1 queues while chunk i runs.
+            parts = [
+                self._search_chunk_device(queries[s : s + sub], k, ef)
+                for s in range(0, len(queries), sub)
+            ]
+            return (
+                np.concatenate([np.asarray(bd)[:n] for bd, bi, n in parts]),
+                np.concatenate([np.asarray(bi)[:n] for bd, bi, n in parts]),
+            )
 
     def _search_knn_locked(self, queries: np.ndarray, k: int, ef: int):
+        bd, bi, nq = self._search_chunk_device(queries, k, ef)
+        return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
+
+    def _search_chunk_device(self, queries: np.ndarray, k: int, ef: int):
+        """Preprocess/pad/dispatch one query chunk; returns device result
+        arrays unmaterialized so chunked callers can pipeline dispatches."""
         q, qnorms = self.preprocess_queries(queries)
         nq = len(q)
         bpad = pow2_bucket(nq)
@@ -1179,16 +1204,36 @@ class HNSWIndex(DeviceVectorIndex):
         qd = jnp.asarray(q)
         qn = None if qnorms is None else jnp.asarray(qnorms)
         bd, bi = self._device_search(qd, qn, k, ef)
-        return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
+        return bd, bi, nq
 
     def search_knn_device(self, qd, k: int, ef: int, qn=None):
         """Device-array entry point for multi-chip query-parallel search
-        (``parallel.sharding.query_parallel_search``): queries must already
-        be preprocessed (normalized for cosine) and batch-padded; their
-        sharding propagates through the jitted kernels (GSPMD)."""
+        (``parallel.sharding.query_parallel_search``) and device-staged
+        serving: queries must already be preprocessed (normalized for
+        cosine) and batch-padded; their sharding propagates through the
+        jitted kernels (GSPMD). Single-device batches are split into
+        ``config.search_sub_batch`` pipelined sub-dispatches at high ef
+        (straggler decoupling, see config.py); sharded batches are not —
+        a row slice would cross shard boundaries and force a reshard."""
+        sub = config.resolve_search_sub_batch(ef)
+        try:
+            single = len(qd.sharding.device_set) == 1
+        except AttributeError:
+            single = True
         with self._lock:
-            bd, bi = self._device_search(qd, qn, k, ef)
-            return np.asarray(bd), np.asarray(bi)
+            if not sub or not single or qd.shape[0] <= sub:
+                bd, bi = self._device_search(qd, qn, k, ef)
+                return np.asarray(bd), np.asarray(bi)
+            parts = [
+                self._device_search(
+                    qd[s : s + sub], None if qn is None else qn[s : s + sub], k, ef
+                )
+                for s in range(0, qd.shape[0], sub)
+            ]
+            return (
+                np.concatenate([np.asarray(bd) for bd, bi in parts]),
+                np.concatenate([np.asarray(bi) for bd, bi in parts]),
+            )
 
     def _device_search(
         self, qd, qn, k: int, ef: int,

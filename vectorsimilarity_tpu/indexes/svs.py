@@ -608,8 +608,21 @@ class SVSIndex(DeviceVectorIndex):
         return max(ws, k)
 
     def search_knn(self, queries: np.ndarray, k: int, ef: int):
+        # High-ef batches split into sub-dispatches to decouple stragglers
+        # (config.search_sub_batch; same policy/rationale as HNSWIndex).
+        queries = np.atleast_2d(queries)
+        sub = config.resolve_search_sub_batch(ef)
         with self._lock:
-            return self._search_knn_locked(queries, k, ef)
+            if not sub or len(queries) <= sub:
+                return self._search_knn_locked(queries, k, ef)
+            parts = [
+                self._search_knn_locked(queries[s : s + sub], k, ef)
+                for s in range(0, len(queries), sub)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
 
     def _search_knn_locked(self, queries: np.ndarray, k: int, ef: int):
         count = self.store.count
