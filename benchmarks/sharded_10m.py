@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """BASELINE north-star scale check: 10M x 96 exact top-k on a device mesh.
 
-Runs the row-sharded flat scan (``parallel.sharding.sharded_topk``) over a
-10M x 96 fp32 store on whatever mesh is available — the virtual 8-device
+Runs the row-sharded flat scan THROUGH THE INDEX API:
+``BruteForceIndex.to_sharded(mesh)`` row-shards the device store and every
+top-k runs as a shard-local fused scan + one k-row ``all_gather`` merge
+riding ICI (``parallel.sharding.sharded_topk``). Uses the virtual 8-device
 CPU mesh by default (sharding correctness; set JAX_PLATFORMS=cpu +
-xla_force_host_platform_device_count), or real chips when present — and
-cross-checks a query subset against numpy. Emits JSON lines.
+xla_force_host_platform_device_count), or real chips when present.
+
+Stages: per-shard on-device data generation (no host materialization of
+the 10M store) -> ``BlockStore.adopt_device`` into the sharded index ->
+timed device-path batches -> host-API spot query + add/delete/query
+life-cycle sanity -> numpy crosscheck of a query subset. Emits JSON lines.
 
 Usage: python benchmarks/sharded_10m.py [--n 10000000] [--dim 96] [--k 10]
 """
@@ -34,11 +40,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from vectorsimilarity_tpu.parallel.sharding import (
-        AXIS, make_mesh, shard_rows, sharded_topk,
-    )
-    from vectorsimilarity_tpu.types import VecSimMetric
+    from vectorsimilarity_tpu.core.store import _bucket_capacity
+    from vectorsimilarity_tpu.indexes.brute_force import BruteForceIndex
+    from vectorsimilarity_tpu.parallel.sharding import AXIS, make_mesh
+    from vectorsimilarity_tpu.types import BFParams, VecSimMetric, VecSimType
 
     devices = jax.devices()
     mesh = make_mesh(devices)
@@ -48,8 +55,18 @@ def main():
     print(json.dumps({"event": "config", "n": n, "dim": dim, "k": k,
                       "devices": S, "platform": devices[0].platform}), flush=True)
 
-    # Per-shard on-device generation: no host materialization of the 10M store.
-    shard_n = n // S
+    idx = BruteForceIndex(
+        BFParams(type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+                 initialCapacity=n)
+    )
+    idx.to_sharded(mesh)
+
+    # Per-shard on-device generation at the store's capacity bucket: no
+    # host materialization of the 10M store. Rows in [n, cap) are garbage
+    # the scan masks out via ``count``.
+    cap = _bucket_capacity(n, idx.store.block_size)
+    assert cap % S == 0
+    shard_n = cap // S
     keys = jax.random.split(jax.random.PRNGKey(0), S)
 
     @jax.jit
@@ -57,38 +74,54 @@ def main():
         return jax.random.normal(key, (shard_n, dim), dtype=jnp.float32)
 
     parts = [jax.device_put(gen(keys[i]), devices[i]) for i in range(S)]
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     data = jax.make_array_from_single_device_arrays(
-        (n, dim), NamedSharding(mesh, P(AXIS, None)), parts
+        (cap, dim), NamedSharding(mesh, P(AXIS, None)), parts
     )
     sqn = jax.jit(
         lambda d: jnp.sum(d * d, axis=-1),
         out_shardings=NamedSharding(mesh, P(AXIS)),
     )(data)
+    t0 = time.perf_counter()
+    idx.store.adopt_device({"data": data, "sqnorm": sqn}, count=n)
+    idx.labels.label_to_id = {i: i for i in range(n)}
+    idx.store.host["label"][:n] = np.arange(n, dtype=np.int64)
+    assert idx.index_size == n
+    print(json.dumps({"event": "adopted", "capacity": cap,
+                      "s": round(time.perf_counter() - t0, 2)}), flush=True)
+
     rng = np.random.default_rng(1)
     q = rng.standard_normal((B, dim)).astype(np.float32)
     qd = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P()))
 
     t0 = time.perf_counter()
-    dists, ids = sharded_topk(
-        qd, (data, sqn), jnp.int32(n), k,
-        metric=VecSimMetric.L2, kind="float", mesh=mesh,
-    )
+    dists, ids = idx.search_knn_device(qd, k)
     dists, ids = np.asarray(dists), np.asarray(ids)
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        d2, i2 = sharded_topk(
-            qd, (data, sqn), jnp.int32(n), k,
-            metric=VecSimMetric.L2, kind="float", mesh=mesh,
-        )
+        d2, i2 = idx.search_knn_device(qd, k)
     _ = np.asarray(d2[:1, :1])
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({"event": "sharded_topk", "warm_s": round(warm, 2),
                       "s_per_batch": round(dt, 3),
                       "qps": round(B / dt, 1)}), flush=True)
+
+    # Host API spot check: label mapping + result ordering for one query.
+    rep = idx.topk_query(q[0], k)
+    assert len(rep) == k and list(rep.ids) == [int(x) for x in ids[0][:k]]
+
+    # Life-cycle on the sharded index: add a sentinel equal to query 0
+    # (exact nearest), re-query, delete it, and verify the original result
+    # returns — add/delete keep full swap-with-last semantics re-sharded.
+    sentinel = 10**9
+    idx.add_vector(q[0], sentinel)
+    rep2 = idx.topk_query(q[0], k)
+    assert rep2.ids[0] == sentinel and rep2.scores[0] <= 1e-5
+    idx.delete_vector(sentinel)
+    rep3 = idx.topk_query(q[0], k)
+    assert list(rep3.ids) == list(rep.ids)
+    print(json.dumps({"event": "lifecycle", "ok": True}), flush=True)
 
     # Cross-check a few queries against per-shard numpy scans (never
     # materializing more than one shard on host).
@@ -96,16 +129,21 @@ def main():
     best = np.full((check, k), np.inf)
     besti = np.full((check, k), -1)
     for s in range(S):
-        part = np.asarray(parts[s])
+        # Global row order after adopt: shard s holds rows [s*shard_n, ...);
+        # only rows below ``count`` are live (capacity-bucket tail masked).
+        live = min(shard_n, max(0, n - s * shard_n))
+        part = np.asarray(parts[s])[:live]
+        if live <= 0:
+            continue
         sc = ((q[:check, None] - part[None]) ** 2).sum(-1)
         alld = np.concatenate([best, sc], axis=1)
         alli = np.concatenate(
-            [besti, np.tile(np.arange(shard_n) + s * shard_n, (check, 1))], axis=1
+            [besti, np.tile(np.arange(live) + s * shard_n, (check, 1))], axis=1
         )
         sel = np.argsort(alld, axis=1, kind="stable")[:, :k]
         best = np.take_along_axis(alld, sel, axis=1)
         besti = np.take_along_axis(alli, sel, axis=1)
-    ok = all(set(ids[b].tolist()) == set(besti[b].tolist()) for b in range(check))
+    ok = all(set(ids[b][:k].tolist()) == set(besti[b].tolist()) for b in range(check))
     print(json.dumps({"event": "crosscheck", "queries": check, "ok": bool(ok)}),
           flush=True)
     assert ok, "sharded top-k mismatch vs numpy"
