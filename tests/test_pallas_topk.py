@@ -122,6 +122,74 @@ def test_bf16_store_native_lane():
     assert np.allclose(np.asarray(pd), rd, atol=2e-2)  # bf16 storage error
 
 
+def _mk_int8(n, d, b, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(-127, 128, size=(n, d)).astype(np.int8)
+    q = rng.integers(-127, 128, size=(b, d)).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(data)
+
+
+def _ref_topk_int(q, data, count, k, metric, data_norms=None, query_norms=None):
+    """Exact integer reference mirroring ops.distances.scores_int."""
+    qi = np.asarray(q, np.int64)
+    di = np.asarray(data, np.int64)[:count]
+    ip = qi @ di.T
+    if metric == VecSimMetric.L2:
+        s = ((qi * qi).sum(1)[:, None] - 2 * ip + (di * di).sum(1)[None, :]).astype(
+            np.float32
+        )
+    elif metric == VecSimMetric.Cosine:
+        s = (1.0 - ip.astype(np.float64)
+             / (np.asarray(query_norms, np.float64)[:, None]
+                * np.asarray(data_norms, np.float64)[None, :count])).astype(np.float32)
+    else:
+        s = (1.0 - ip.astype(np.float64)).astype(np.float32)
+    order = np.lexsort((np.arange(s.shape[1])[None, :].repeat(len(qi), 0), s), axis=1)
+    idx = order[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("metric", [VecSimMetric.L2, VecSimMetric.IP])
+def test_int8_lane_parity(metric):
+    n, d, b, k = 512, 64, 4, 10
+    q, data = _mk_int8(n, d, b, seed=10)
+    pd, pi = pallas_topk(q, data, None, jnp.int32(n), k,
+                         metric=metric, tile_n=128, interpret=True)
+    rd, ri = _ref_topk_int(q, data, n, k, metric)
+    # Integer arithmetic is exact: ids and distances must match bit-for-bit
+    # (L2 casts the identical int32 to f32; IP likewise).
+    np.testing.assert_array_equal(np.asarray(pi), ri)
+    np.testing.assert_array_equal(np.asarray(pd), rd)
+
+
+def test_int8_cosine_parity():
+    n, d, b, k = 512, 64, 4, 10
+    q, data = _mk_int8(n, d, b, seed=11)
+    dn = jnp.sqrt(jnp.sum(data.astype(jnp.int32) ** 2, axis=1).astype(jnp.float32))
+    qn = jnp.sqrt(jnp.sum(q.astype(jnp.int32) ** 2, axis=1).astype(jnp.float32))
+    pd, pi = pallas_topk(q, data, dn, jnp.int32(n), k,
+                         metric=VecSimMetric.Cosine, tile_n=128, interpret=True,
+                         query_norms=qn)
+    rd, ri = _ref_topk_int(q, data, n, k, VecSimMetric.Cosine,
+                           data_norms=dn, query_norms=qn)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert np.allclose(pd, rd, atol=1e-6)
+    flip = pi != ri
+    if flip.any():  # fp division rounding near-ties only
+        assert np.abs(pd[flip] - rd[flip]).max() < 1e-6
+
+
+def test_int8_count_masking():
+    n, d, b, k = 256, 32, 2, 8
+    q, data = _mk_int8(n, d, b, seed=12)
+    count = 90
+    pd, pi = pallas_topk(q, data, None, jnp.int32(count), k,
+                         metric=VecSimMetric.L2, tile_n=64, interpret=True)
+    assert int(np.asarray(pi).max()) < count
+    rd, ri = _ref_topk_int(q, data, count, k, VecSimMetric.L2)
+    np.testing.assert_array_equal(np.asarray(pi), ri)
+
+
 # ---------------------------------------------------------------------------
 # Big-k path: per-tile local top-c + XLA merge (pallas_topk_bigk)
 # ---------------------------------------------------------------------------
@@ -177,6 +245,18 @@ def test_bigk_count_mask_and_short_index():
         rd, _ = _ref_topk(q, data, count, count, VecSimMetric.Cosine)
         assert np.allclose(pd[:, :count], rd, atol=5e-4)
         assert (pi[:, count:] == -1).all()
+
+
+def test_bigk_int8_parity():
+    n, d, b, k = 1024, 32, 2, 200
+    q, data = _mk_int8(n, d, b, seed=13)
+    pd, pi, trunc = pallas_topk_bigk(q, data, None, jnp.int32(n), k,
+                                     metric=VecSimMetric.L2, tile_n=128,
+                                     local_c=64, interpret=True)
+    assert not bool(np.asarray(trunc).any())
+    rd, ri = _ref_topk_int(q, data, n, k, VecSimMetric.L2)
+    np.testing.assert_array_equal(np.asarray(pi), ri)
+    np.testing.assert_array_equal(np.asarray(pd), rd)
 
 
 def test_bigk_engine_integration():

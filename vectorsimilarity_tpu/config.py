@@ -135,7 +135,12 @@ pallas_bigk_max: int = 2048
 def _pallas_common(kind: str, capacity: int, dtype=None) -> bool:
     if use_pallas == "never":
         return False
-    if kind != "float":
+    if kind == "int":
+        # int8 rides the kernel's s8·s8→s32 MXU lane; uint8 stays on the
+        # XLA path (shift+correction algebra, ops/distances._int_dot).
+        if dtype is None or jnp.dtype(dtype) != jnp.int8:
+            return False
+    elif kind != "float":
         return False
     if capacity % min(pallas_tile_n, capacity) != 0:
         return False

@@ -219,6 +219,7 @@ class BruteForceIndex(DeviceVectorIndex):
                     min(k, max(count, 1)),
                     metric=self.metric,
                     tile_n=min(config.pallas_tile_n, self.store.capacity),
+                    query_norms=qn,
                 )
             if config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
                                           self.store.fields["data"].device_dtype):
@@ -230,6 +231,7 @@ class BruteForceIndex(DeviceVectorIndex):
                     metric=self.metric,
                     tile_n=min(config.pallas_tile_n, self.store.capacity),
                     local_c=config.pallas_local_c,
+                    query_norms=qn,
                 )
                 if not bool(jnp.any(trunc)):
                     return bd, bi
@@ -280,6 +282,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 jnp.asarray(q), data, sqn, jnp.int32(count), kk,
                 metric=self.metric,
                 tile_n=min(config.pallas_tile_n, self.store.capacity),
+                query_norms=None if qnorms is None else jnp.asarray(qnorms),
             )
         elif config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
                                         self.store.fields["data"].device_dtype):
@@ -291,6 +294,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 metric=self.metric,
                 tile_n=min(config.pallas_tile_n, self.store.capacity),
                 local_c=config.pallas_local_c,
+                query_norms=None if qnorms is None else jnp.asarray(qnorms),
             )
             if bool(jnp.any(trunc)):
                 # Rare exactness fallback (see pallas_topk_bigk docstring).

@@ -18,8 +18,10 @@ does the bf16_3x decomposition explicitly for fp32 inputs:
 
 which matches the XLA lane's error (~1e-5 relative) at 3 bf16-rate passes.
 bf16/fp16 stores take the native single-pass path (exact for bf16, same as
-the XLA lane). fp32 with ``config.fp32_matmul_precision == "highest"`` is
-not supported in-kernel — ``config.pallas_enabled`` gates it off.
+the XLA lane). int8 stores ride the s8·s8→s32 MXU lane with the same exact
+integer algebra as ``ops.distances.scores_int`` (uint8 stays on XLA). fp32
+with ``config.fp32_matmul_precision == "highest"`` is not supported
+in-kernel — ``config.pallas_enabled`` gates it off.
 
 Merge strategy: per grid step, candidates better than the current k-th best
 are rare after the first few tiles; the kernel counts them first and only
@@ -51,16 +53,70 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _tile_scores(metric, mode, tile_n, q_ref, qaux_ref, data_ref, sqn_ref):
+    """One distance tile [B, tile_n] in fp32, shared by both kernels.
+
+    ``qaux`` carries the per-query auxiliary: fp32 query sqnorms (float
+    L2), exact integer query sqnorms held in f32 (int L2), or stored query
+    norms (int Cosine). ``sqn`` carries per-row sqnorms (float L2) or
+    stored row norms (int Cosine); int L2 computes row sqnorms in-kernel
+    from the tile already in VMEM (free VPU work, saves an HBM stream).
+
+    fp32 stores: BOTH bf16 hi/lo splits happen IN-KERNEL — computing the
+    lo plane as an XLA op outside the custom call is silently destroyed by
+    --xla_allow_excess_precision (the f32->bf16->f32 round-trip folds
+    away, zeroing the correction), which demotes the whole product to
+    one-pass bf16 — measured 2.2e-4 error vs the correct 9e-7.
+
+    int8 stores: scores follow ``ops.distances.scores_int`` exactly —
+    s8·s8→s32 MXU dot, integer L2 algebra in int32, ONE cast to f32 at
+    the end (the reference's exact integer arithmetic,
+    ``spaces/IP/IP.cpp:258-287``).
+    """
+    dims = (((1,), (1,)), ((), ()))
+    if mode == "int":
+        ip = jax.lax.dot_general(
+            q_ref[:], data_ref[:], dims, preferred_element_type=jnp.int32
+        )
+        if metric == VecSimMetric.L2:
+            di = data_ref[:].astype(jnp.int32)
+            dsq = jnp.sum(di * di, axis=1).reshape(1, tile_n)
+            return (qaux_ref[:].astype(jnp.int32) - 2 * ip + dsq).astype(
+                jnp.float32
+            )
+        if metric == VecSimMetric.Cosine:
+            return 1.0 - ip.astype(jnp.float32) / (
+                qaux_ref[:] * sqn_ref[:].reshape(1, tile_n)
+            )
+        return 1.0 - ip.astype(jnp.float32)
+    if mode == "bf16_3x":
+        qf = q_ref[:]
+        q_hi = qf.astype(jnp.bfloat16)
+        q_lo = (qf - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dat = data_ref[:]
+        d_hi = dat.astype(jnp.bfloat16)
+        d_lo = (dat - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ip = jax.lax.dot_general(q_hi, d_hi, dims, preferred_element_type=jnp.float32)
+        ip += jax.lax.dot_general(q_hi, d_lo, dims, preferred_element_type=jnp.float32)
+        ip += jax.lax.dot_general(q_lo, d_hi, dims, preferred_element_type=jnp.float32)
+    else:
+        ip = jax.lax.dot_general(
+            q_ref[:], data_ref[:], dims, preferred_element_type=jnp.float32
+        )
+    if metric == VecSimMetric.L2:
+        return qaux_ref[:] - 2.0 * ip + sqn_ref[:].reshape(1, tile_n)
+    return 1.0 - ip
+
+
 def _make_kernel(
     metric: VecSimMetric,
     k: int,
     tile_n: int,
     n_tiles: int,
     with_sqnorm: bool,
-    mode: str,  # "bf16_3x" (fp32 store) | "native" (bf16/fp16 store)
+    mode: str,  # "bf16_3x" (fp32) | "native" (bf16/fp16) | "int" (int8)
 ):
     metric = VecSimMetric(metric)
-    dims = (((1,), (1,)), ((), ()))
 
     def kernel(count_ref, q_ref, qsq_ref, lo_d_ref, lo_i_ref, *rest):
         if with_sqnorm:
@@ -76,30 +132,9 @@ def _make_kernel(
             best_d[:] = jnp.full_like(best_d, jnp.inf)
             best_i[:] = jnp.full_like(best_i, -1)
 
-        # Score tile [B, TILE_N] on the MXU. BOTH hi/lo splits happen
-        # IN-KERNEL: computing the lo plane as an XLA op outside the
-        # custom call is silently destroyed by --xla_allow_excess_precision
-        # (the f32->bf16->f32 round-trip folds away, zeroing the
-        # correction), which demotes the whole product to one-pass bf16 —
-        # measured 2.2e-4 error vs the correct 9e-7.
-        if mode == "bf16_3x":
-            qf = q_ref[:]
-            q_hi = qf.astype(jnp.bfloat16)
-            q_lo = (qf - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dat = data_ref[:]
-            d_hi = dat.astype(jnp.bfloat16)
-            d_lo = (dat - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            ip = jax.lax.dot_general(q_hi, d_hi, dims, preferred_element_type=jnp.float32)
-            ip += jax.lax.dot_general(q_hi, d_lo, dims, preferred_element_type=jnp.float32)
-            ip += jax.lax.dot_general(q_lo, d_hi, dims, preferred_element_type=jnp.float32)
-        else:
-            ip = jax.lax.dot_general(
-                q_ref[:], data_ref[:], dims, preferred_element_type=jnp.float32
-            )
-        if metric == VecSimMetric.L2:
-            s = qsq_ref[:] - 2.0 * ip + sqn_ref[:].reshape(1, tile_n)
-        else:
-            s = 1.0 - ip
+        # Score tile [B, TILE_N] on the MXU (see _tile_scores for the
+        # precision contract per mode).
+        s = _tile_scores(metric, mode, tile_n, q_ref, qsq_ref, data_ref, sqn_ref)
         gids = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
         # Mask dead rows and (for multi-pass k>128) everything lex <= the
         # previous pass's last (distance, id).
@@ -170,25 +205,54 @@ def _make_kernel(
     return kernel
 
 
+def _mode_and_aux(queries, data, sqnorms, metric, query_norms):
+    """(mode, qk, qaux, with_sqnorm, sqn, itemsize) for a kernel launch.
+
+    int8 stores get the "int" lane (``sqnorms`` then carries the STORED
+    fp32 norms for Cosine and is unused for L2/IP — L2 row sqnorms are
+    computed in-kernel); float stores keep the bf16_3x/native split.
+    uint8 is not supported here (``config._pallas_common`` gates it to the
+    XLA path — the shift+correction algebra isn't worth a second lane).
+    """
+    B = queries.shape[0]
+    metric = VecSimMetric(metric)
+    if data.dtype == jnp.int8:
+        qk = queries.astype(jnp.int8)
+        if metric == VecSimMetric.L2:
+            qi = queries.astype(jnp.int32)
+            qaux = jnp.sum(qi * qi, axis=1, keepdims=True).astype(jnp.float32)
+            return "int", qk, qaux, False, None, 1
+        if metric == VecSimMetric.Cosine:
+            assert query_norms is not None and sqnorms is not None, (
+                "int8 cosine needs stored and query norms"
+            )
+            qaux = query_norms.reshape(B, 1).astype(jnp.float32)
+            return "int", qk, qaux, True, sqnorms.astype(jnp.float32), 1
+        return "int", qk, jnp.zeros((B, 1), jnp.float32), False, None, 1
+    if data.dtype == jnp.float32:
+        mode, qk, itemsize = "bf16_3x", queries.astype(jnp.float32), 4
+    else:
+        mode, qk, itemsize = "native", queries.astype(data.dtype), 2
+    with_sqnorm = metric == VecSimMetric.L2
+    qaux = (
+        jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        if with_sqnorm
+        else jnp.zeros((B, 1), jnp.float32)
+    )
+    sqn = sqnorms.astype(jnp.float32) if with_sqnorm else None
+    return mode, qk, qaux, with_sqnorm, sqn, itemsize
+
+
 def _one_pass(
-    queries, data, sqnorms, count, k, *, metric, tile_n, lo_d, lo_i, interpret
+    queries, data, sqnorms, count, k, *, metric, tile_n, lo_d, lo_i, interpret,
+    query_norms=None,
 ):
     B, D = queries.shape
     N = data.shape[0]
     n_tiles = N // tile_n
     metric = VecSimMetric(metric)
-    with_sqnorm = metric == VecSimMetric.L2
-
-    if data.dtype == jnp.float32:
-        mode = "bf16_3x"
-        qk = queries.astype(jnp.float32)
-    else:
-        mode = "native"
-        qk = queries.astype(data.dtype)
-    qsq = (
-        jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-        if with_sqnorm
-        else jnp.zeros((B, 1), jnp.float32)
+    mode, qk, qsq, with_sqnorm, sqn, itemsize = _mode_and_aux(
+        queries, data, sqnorms, metric, query_norms
     )
     kernel = _make_kernel(metric, k, tile_n, n_tiles, with_sqnorm, mode)
 
@@ -204,14 +268,13 @@ def _one_pass(
     args = [jnp.asarray([count], dtype=jnp.int32), qk, qsq, lo_d, lo_i, data]
     if with_sqnorm:
         in_specs.append(pl.BlockSpec((tile_n,), lambda j: (j,), memory_space=pltpu.VMEM))
-        args.append(sqnorms.astype(jnp.float32))
+        args.append(sqn)
 
     # VMEM allowance: Mosaic's live-range accounting runs well above the
     # naive sum of buffers (double-buffered operands + merge-loop copies);
     # measured need at (B=1024, tile=4096, D=768, bf16_3x) is < 100M on a
     # v5e (128M physical). The limit is an allowance, not an allocation, so
     # a generous flat value is safe for small shapes too.
-    itemsize = 4 if data.dtype == jnp.float32 else 2
     budget = 110 * 1024 * 1024
 
     out_d, out_i = pl.pallas_call(
@@ -243,15 +306,16 @@ def _one_pass(
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n", "interpret"))
 def pallas_topk(
-    queries: jax.Array,  # [B, D] f32/bf16/fp16
+    queries: jax.Array,  # [B, D] f32/bf16/fp16/int8
     data: jax.Array,  # [N, D] store dtype, N % tile_n == 0
-    sqnorms: jax.Array | None,  # [N] f32 for L2, None otherwise
+    sqnorms: jax.Array | None,  # [N] f32: sqnorms (float L2) / norms (int cos)
     count: jax.Array,  # live rows
     k: int,
     *,
     metric: VecSimMetric,
     tile_n: int = 4096,
     interpret: bool = False,
+    query_norms: jax.Array | None = None,  # [B] f32, int8 cosine only
 ):
     """Exact top-k (smallest distances) with fused scan. Returns
     (dists [B, k], ids [B, k]) sorted ascending; k > 128 runs ⌈k/128⌉
@@ -269,7 +333,7 @@ def pallas_topk(
         pd, pi = _one_pass(
             queries, data, sqnorms, count, pass_k,
             metric=metric, tile_n=tile_n, lo_d=lo_d, lo_i=lo_i,
-            interpret=interpret,
+            interpret=interpret, query_norms=query_norms,
         )
         parts_d.append(pd)
         parts_i.append(pi)
@@ -303,7 +367,6 @@ def pallas_topk(
 
 def _make_tile_topc_kernel(metric, c, tile_n, with_sqnorm, mode):
     metric = VecSimMetric(metric)
-    dims = (((1,), (1,)), ((), ()))
 
     def kernel(count_ref, q_ref, qsq_ref, *rest):
         if with_sqnorm:
@@ -314,24 +377,7 @@ def _make_tile_topc_kernel(metric, c, tile_n, with_sqnorm, mode):
         j = pl.program_id(0)
         B = q_ref.shape[0]
 
-        if mode == "bf16_3x":
-            qf = q_ref[:]
-            q_hi = qf.astype(jnp.bfloat16)
-            q_lo = (qf - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dat = data_ref[:]
-            d_hi = dat.astype(jnp.bfloat16)
-            d_lo = (dat - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            ip = jax.lax.dot_general(q_hi, d_hi, dims, preferred_element_type=jnp.float32)
-            ip += jax.lax.dot_general(q_hi, d_lo, dims, preferred_element_type=jnp.float32)
-            ip += jax.lax.dot_general(q_lo, d_hi, dims, preferred_element_type=jnp.float32)
-        else:
-            ip = jax.lax.dot_general(
-                q_ref[:], data_ref[:], dims, preferred_element_type=jnp.float32
-            )
-        if metric == VecSimMetric.L2:
-            s = qsq_ref[:] - 2.0 * ip + sqn_ref[:].reshape(1, tile_n)
-        else:
-            s = 1.0 - ip
+        s = _tile_scores(metric, mode, tile_n, q_ref, qsq_ref, data_ref, sqn_ref)
         gids = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
         s = jnp.where(gids < count_ref[0], s, jnp.inf)
 
@@ -371,6 +417,7 @@ def pallas_topk_bigk(
     tile_n: int = 4096,
     local_c: int = 32,
     interpret: bool = False,
+    query_norms: jax.Array | None = None,  # [B] f32, int8 cosine only
 ):
     """Top-k for large k via per-tile local top-c + one XLA merge.
 
@@ -388,18 +435,8 @@ def pallas_topk_bigk(
     c = min(local_c, tile_n)
     assert n_tiles * c >= k, "raise local_c: not enough survivors for k"
     metric = VecSimMetric(metric)
-    with_sqnorm = metric == VecSimMetric.L2
-
-    if data.dtype == jnp.float32:
-        mode = "bf16_3x"
-        qk = queries.astype(jnp.float32)
-    else:
-        mode = "native"
-        qk = queries.astype(data.dtype)
-    qsq = (
-        jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-        if with_sqnorm
-        else jnp.zeros((B, 1), jnp.float32)
+    mode, qk, qsq, with_sqnorm, sqn, itemsize = _mode_and_aux(
+        queries, data, sqnorms, metric, query_norms
     )
     kernel = _make_tile_topc_kernel(metric, c, tile_n, with_sqnorm, mode)
 
@@ -413,9 +450,8 @@ def pallas_topk_bigk(
     args = [jnp.asarray([count], dtype=jnp.int32), qk, qsq, data]
     if with_sqnorm:
         in_specs.append(pl.BlockSpec((tile_n,), lambda j: (j,), memory_space=pltpu.VMEM))
-        args.append(sqnorms.astype(jnp.float32))
+        args.append(sqn)
 
-    itemsize = 4 if data.dtype == jnp.float32 else 2
     local_d, local_i = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
