@@ -497,12 +497,19 @@ class SVSIndex(DeviceVectorIndex):
     def _reprune_rows(self, rows: list[tuple[int, list[int]]]) -> None:
         dev = self.store.device_arrays()
         ctx = self._ctx(dev)
-        C = max(len(c) for _, c in rows)
+        # Pow2-bucket BOTH dims: (B, C) vary with every overflow set, and
+        # on the relay each fresh shape is a ~30 s remote compile — at one
+        # reprune per insert chunk that dominated the whole build (measured
+        # 100k x 768 build not finishing in 90 min before bucketing; the
+        # dozen bucketed shapes compile once each). Padding rows duplicate
+        # the last node (results discarded); padding cands are -1 (masked).
         B = len(rows)
-        cand = np.full((B, C), -1, dtype=np.int32)
+        C = pow2_bucket(max(max(len(c) for _, c in rows), 1))
+        Bpad = pow2_bucket(B)
+        cand = np.full((Bpad, C), -1, dtype=np.int32)
         for bi, (_, c) in enumerate(rows):
             cand[bi, : len(c)] = c
-        nodes = [r[0] for r in rows]
+        nodes = [r[0] for r in rows] + [rows[-1][0]] * (Bpad - B)
         q_host, qn_host, qmeta_host = self._q_dev(nodes)
         q = jnp.asarray(q_host)
         qn = None if qn_host is None else jnp.asarray(qn_host)
