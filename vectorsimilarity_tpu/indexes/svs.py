@@ -37,6 +37,7 @@ from ..core.abstract_index import DeviceVectorIndex, pow2_bucket, retry_device
 from ..core.interface import TimeoutBudget
 from ..core.results import QueryReply, make_reply
 from ..core.store import FieldSpec
+from ..ops import graph_build
 from ..ops.graph_search import StoreCtx, beam_search, dists_to_ids, diversity_prune
 from ..ops.quantize import (
     gathered_recon_dists,
@@ -160,6 +161,8 @@ class SVSIndex(DeviceVectorIndex):
         self.entry_id = -1
         self.num_marked_deleted = 0
         self._inserts_since_medoid = 0
+        self._host_links_stale = False  # device-built links not yet pulled
+        self._build_dropped: list = []
         # First SVS index attaches to the process-wide shared pool and applies
         # any resize requested before index creation (svs_utils.h:509-518).
         SharedSVSThreadPool.instance().on_index_attached()
@@ -281,12 +284,24 @@ class SVSIndex(DeviceVectorIndex):
     # Host link accessors
     # ------------------------------------------------------------------
 
+    def _ensure_host_links(self) -> None:
+        """Pull device-built links into the host mirrors (one bulk read).
+
+        Host-path mutations (delete/repair/serialize) require fresh host
+        links; queries and device construction never need this."""
+        if not self._host_links_stale:
+            return
+        self._host_links_stale = False
+        self.store.pull_host("links", "nlinks")
+
     def get_links(self, node: int) -> list[int]:
+        self._ensure_host_links()
         n = int(self.store.host["nlinks"][node])
         return self.store.host["links"][node, :n].tolist()
 
     def set_links(self, node: int, ids: list[int]) -> None:
         assert len(ids) <= self.R
+        self._ensure_host_links()
         row = self.store.host["links"][node]
         row[: len(ids)] = ids
         row[len(ids) :] = -1
@@ -345,7 +360,10 @@ class SVSIndex(DeviceVectorIndex):
                     self.store.mark_dirty(node, "slot")
                 else:
                     self.labels.add(labels[i], node)
-            retry_device(lambda: self._connect_batch(ids, vecs))
+            if config.graph_build_device:
+                self._connect_batch_device(np.asarray(ids, dtype=np.int32))
+            else:
+                retry_device(lambda: self._connect_batch(ids, vecs))
             self._inserts_since_medoid += n
             if self.entry_id < 0 or self._inserts_since_medoid * 8 > self.store.count:
                 self._update_medoid()
@@ -398,7 +416,62 @@ class SVSIndex(DeviceVectorIndex):
             qn = dev["norm"][ids_dev]
         return q, qn, None
 
+    def _connect_batch_device(self, ids: np.ndarray) -> None:
+        """Connect a batch fully on device: one dispatch per pow2 chunk.
+
+        The Vamana analog of ``HNSWIndex._connect_batch_device``
+        (``graph_build.vamana_connect``): beam, alpha pruning, and
+        reverse-edge application fuse into one jitted program; device link
+        arrays become authoritative and host mirrors are pulled lazily
+        (``_ensure_host_links``)."""
+        n = len(ids)
+        if n == 0:
+            return
+        dev = self.store.device_arrays()
+        ctx = self._ctx(dev)
+        state = graph_build.VamanaState(
+            dev["links"], dev["nlinks"], jnp.int32(self.entry_id)
+        )
+        kw = dict(
+            L=self.L_build,
+            deg=self.R,
+            metric=self.metric,
+            kind=self.store_kind,
+            alpha=self._prune_alpha,
+            a_cap=config.build_reverse_cap,
+            beam_expand=config.build_beam_expand,
+        )
+        off = 0
+        while off < n:
+            c = 1
+            while c * 2 <= n - off and c * 2 <= config.build_batch:
+                c *= 2
+            ch = slice(off, off + c)
+            state, d = retry_device(
+                lambda s=state, ch=ch: graph_build.vamana_connect(
+                    s, ctx, jnp.asarray(ids[ch]), **kw
+                )
+            )
+            self._build_dropped.append(d)
+            off += c
+        if self.entry_id < 0:
+            # Host mirror of the device rule (empty graph adopts the first
+            # id); the medoid refresh right after the first batch replaces it.
+            self.entry_id = int(ids[0])
+        self.store._device["links"] = state.links
+        self.store._device["nlinks"] = state.nlinks
+        self.store.mark_host_stale("links", "nlinks")
+        self._host_links_stale = True
+
+    def build_dropped(self) -> int:
+        """Reverse-edge pairs dropped by the device builder's per-row cap
+        (``apply_reverse_edges_device``); 0 in healthy builds."""
+        total = sum(int(np.asarray(d).sum()) for d in self._build_dropped)
+        self._build_dropped = [total]
+        return int(total)
+
     def _connect_batch(self, ids: list[int], raw_vecs: np.ndarray) -> None:
+        self._ensure_host_links()  # host path writes host link rows directly
         prev_entry = self.entry_id
         n = len(ids)
         dev = self.store.device_arrays()
@@ -537,6 +610,7 @@ class SVSIndex(DeviceVectorIndex):
             ids = self.labels.remove_label(label)
             if not ids:
                 return 0
+            self._ensure_host_links()
             for node in sorted(ids, reverse=True):
                 self._delete_node(node)
             self.store.maybe_shrink()
@@ -547,6 +621,7 @@ class SVSIndex(DeviceVectorIndex):
     def _referrers(self, node: int) -> list[int]:
         from .. import native_bridge
 
+        self._ensure_host_links()
         count = self.store.count
         hit = native_bridge.find_referrers(self.store.host["links"], count, node)
         if hit is None:

@@ -59,6 +59,35 @@ class GraphState(NamedTuple):
     max_level: jax.Array  # scalar int32 (-1: empty graph)
 
 
+def anchor_queries(ctx: StoreCtx, ids: jax.Array, kind: str, metric):
+    """(q, q_norm, q_meta) for stored rows used as distance anchors.
+
+    Construction anchors queries at already-stored vectors (the new node, or
+    the owner of a row being re-pruned). For float/int stores that is a row
+    gather; for quantized stores (sq8/sq4) the anchor is the PRIMARY-SPACE
+    DECODE of the stored codes with the asymmetric-kernel metadata (Σq, Σq²)
+    recomputed — construction never sees the original float vector, matching
+    the reference SVS build which operates on the compressed dataset."""
+    metric = VecSimMetric(metric)
+    if kind in ("sq8", "sq4"):
+        codes = jnp.take(ctx.data, ids, axis=0)
+        if kind == "sq4":
+            from .quantize import unpack4
+
+            codes = unpack4(codes)
+        q = (
+            jnp.take(ctx.vmin, ids)[:, None]
+            + jnp.take(ctx.delta, ids)[:, None] * codes.astype(jnp.float32)
+        )
+        qm = (jnp.sum(q, axis=-1), jnp.sum(q * q, axis=-1))
+        return q, None, qm
+    q = jnp.take(ctx.data, ids, axis=0)
+    qn = None
+    if kind == "int" and metric == VecSimMetric.Cosine:
+        qn = jnp.take(ctx.norm, ids, axis=0)
+    return q, qn, None
+
+
 def _segment_ranks(key: jax.Array):
     """Per-element segment bookkeeping for a sorted key array.
 
@@ -93,6 +122,7 @@ def apply_reverse_edges_device(
     a_cap: int,
     metric: VecSimMetric,
     kind: str,
+    alpha: float = 1.0,
     prune_chunk: int = 2048,
 ):
     """Append src -> row back-edges; re-prune rows that overflow.
@@ -141,18 +171,18 @@ def apply_reverse_edges_device(
 
     old = jnp.take(links, safe_key, axis=0)  # overflow rows untouched above
     cand = jnp.concatenate([old, jnp.take(newmat, seg_id, axis=0)], axis=1)
-    # Per-row anchor = the row owner's vector.
+    # Per-row anchor = the row owner's vector (primary-space decode for
+    # quantized stores).
     anchor = jnp.maximum(dst_s, 0)
-    qv = jnp.take(ctx.data, anchor, axis=0)
-    qn = None
-    if kind == "int" and VecSimMetric(metric) == VecSimMetric.Cosine:
-        qn = jnp.take(ctx.norm, anchor, axis=0)
+    qv, qn, qm = anchor_queries(ctx, anchor, kind, metric)
     # Don't let a row keep itself.
     cand = jnp.where(cand == dst_s[:, None], -1, cand)
-    cd = dists_to_ids(qv, cand, ctx, metric=metric, kind=kind, q_norm=qn)
+    cd = dists_to_ids(
+        qv, cand, ctx, metric=metric, kind=kind, q_norm=qn, q_meta=qm
+    )
     pruned = diversity_prune_chunked(
-        qv, cand, cd, ctx, m=m_cap, metric=metric, kind=kind, q_norm=qn,
-        chunk=prune_chunk,
+        qv, cand, cd, ctx, m=m_cap, metric=metric, kind=kind, alpha=alpha,
+        q_norm=qn, chunk=prune_chunk,
     )
     apply_rows = jnp.where(is_start & valid_s & ~fits, key_s, R)
     links = links.at[apply_rows].set(pruned, mode="drop")
@@ -167,7 +197,7 @@ def apply_reverse_edges_device(
 
 def apply_reverse_edges_multi(
     links, nlinks, rows, dst_ids, src_ids, ctx, *,
-    m_cap, a_cap, metric, kind, prune_chunk=2048, passes=2,
+    m_cap, a_cap, metric, kind, alpha=1.0, prune_chunk=2048, passes=2,
 ):
     """Reverse-edge application with residual passes.
 
@@ -184,7 +214,7 @@ def apply_reverse_edges_multi(
     for p in range(passes):
         links, nlinks, rows, dst_ids, src_ids = apply_reverse_edges_device(
             links, nlinks, rows, dst_ids, src_ids, ctx,
-            m_cap=m_cap, a_cap=a_cap, metric=metric, kind=kind,
+            m_cap=m_cap, a_cap=a_cap, metric=metric, kind=kind, alpha=alpha,
             prune_chunk=prune_chunk,
         )
         if p + 1 < passes:
@@ -451,3 +481,157 @@ def build_scan(
         )
 
     return jax.lax.scan(step, state, (offsets, levels, urows))
+
+
+# ---------------------------------------------------------------------------
+# Vamana (SVS) construction — single-level connect with alpha pruning
+# ---------------------------------------------------------------------------
+
+
+class VamanaState(NamedTuple):
+    """Device Vamana graph arrays threaded through construction."""
+
+    links: jax.Array  # [cap, R] int32, -1 padded
+    nlinks: jax.Array  # [cap] int32
+    entry: jax.Array  # scalar int32 medoid vector id (-1: empty graph)
+
+
+def vamana_connect_impl(
+    state: VamanaState,
+    ctx: StoreCtx,
+    ids: jax.Array,  # [n] int32 new-node row ids (contiguous ascending)
+    *,
+    L: int,  # construction window size (beam ef)
+    deg: int,  # graph_max_degree R
+    metric: VecSimMetric,
+    kind: str,
+    alpha: float = 1.0,
+    a_cap: int = 16,
+    prune_chunk: int = 2048,
+    rev_passes: int = 2,
+    beam_expand: int = 4,
+):
+    """Insert one batch into a Vamana graph — ONE device dispatch.
+
+    The single-level analog of ``connect_batch_impl``: candidate beam from
+    the medoid entry, intra-batch pair distances, robust-alpha diversity
+    pruning (DiskANN rule; ``alpha`` reaches every re-prune including
+    overflowing reverse-edge rows), and sort-segment reverse-edge
+    application. Replaces the host-orchestrated SVS insert path (beam on
+    device but link bookkeeping + re-prunes through host round-trips —
+    measured 111 v/s at 100k x 768 on the relay vs 400+ for the HNSW
+    device builder this mirrors). Anchors for quantized stores are the
+    primary-space decodes (``anchor_queries``), matching the reference SVS
+    which builds on the compressed dataset.
+
+    The batch's rows must already be present in ``ctx`` at ``ids``. Entry
+    stays fixed during the batch (the medoid is refreshed by the host
+    between dispatches, ``SVSIndex._update_medoid``); an empty graph adopts
+    ``ids[0]`` so the first batch self-connects via pair distances.
+    Returns (new_state, dropped).
+    """
+    metric = VecSimMetric(metric)
+    links, nlinks, entry = state
+    n = ids.shape[0]
+    cap = links.shape[0]
+    q, qn, qm = anchor_queries(ctx, ids, kind, metric)
+
+    has_graph = entry >= 0
+    ep = jnp.maximum(entry, 0)
+    e = jnp.full((n,), ep, dtype=jnp.int32)
+    ed = dists_to_ids(
+        q, e[:, None], ctx, metric=metric, kind=kind, q_norm=qn, q_meta=qm
+    )[:, 0]
+    bd, bi = beam_search_impl(
+        q, ctx, links, None, e, ed, cap,
+        active=has_graph & jnp.ones((n,), bool),
+        ef=L, metric=metric, kind=kind, q_norm=qn, q_meta=qm,
+        expand=beam_expand,
+    )
+
+    if n > 1:
+        pair = dists_to_ids(
+            q, jnp.broadcast_to(ids[None, :], (n, n)), ctx,
+            metric=metric, kind=kind, q_norm=qn, q_meta=qm,
+        )
+        pair = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, pair)
+    else:
+        pair = jnp.full((1, 1), jnp.inf, dtype=jnp.float32)
+
+    peer = ~jnp.eye(n, dtype=bool)
+    ci = jnp.concatenate([bi, jnp.where(peer, ids[None, :], -1)], axis=1)
+    cd = jnp.concatenate([bd, jnp.where(peer, pair, jnp.inf)], axis=1)
+    sel = diversity_prune_chunked(
+        q, ci, cd, ctx, m=deg, metric=metric, kind=kind, alpha=alpha,
+        q_norm=qn, chunk=prune_chunk,
+    )
+    links = links.at[ids].set(sel)
+    nlinks = nlinks.at[ids].set(jnp.sum(sel >= 0, axis=1).astype(nlinks.dtype))
+
+    # Reverse edges; drop pairs already mutual inside the batch.
+    base_id = ids[0]
+    dst = sel.reshape(-1)
+    src = jnp.repeat(ids, deg)
+    in_batch = (dst >= base_id) & (dst < base_id + n)
+    row = jnp.clip(dst - base_id, 0, n - 1)
+    dup = jnp.any(jnp.take(sel, row, axis=0) == src[:, None], axis=1) & in_batch
+    dst = jnp.where(dup, -1, dst)
+    links, nlinks, dropped = apply_reverse_edges_multi(
+        links, nlinks, dst, dst, src, ctx,
+        m_cap=deg, a_cap=a_cap, metric=metric, kind=kind, alpha=alpha,
+        prune_chunk=prune_chunk, passes=rev_passes,
+    )
+
+    new_entry = jnp.where(entry < 0, ids[0], entry).astype(jnp.int32)
+    return VamanaState(links, nlinks, new_entry), dropped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "deg", "metric", "kind", "alpha", "a_cap",
+                     "prune_chunk", "rev_passes", "beam_expand"),
+)
+def vamana_connect(state, ctx, ids, *, L, deg, metric, kind, alpha=1.0,
+                   a_cap=16, prune_chunk=2048, rev_passes=2, beam_expand=4):
+    """Jitted single-batch Vamana insert (no donation: callers retry)."""
+    return vamana_connect_impl(
+        state, ctx, ids,
+        L=L, deg=deg, metric=metric, kind=kind, alpha=alpha,
+        a_cap=a_cap, prune_chunk=prune_chunk, rev_passes=rev_passes,
+        beam_expand=beam_expand,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "L", "deg", "metric", "kind", "alpha", "a_cap",
+                     "prune_chunk", "rev_passes", "beam_expand"),
+)
+def vamana_build_scan(
+    state: VamanaState,
+    ctx: StoreCtx,
+    offsets: jax.Array,  # [T] int32 first row id of each batch
+    *,
+    n: int,  # rows per batch
+    L: int,
+    deg: int,
+    metric: VecSimMetric,
+    kind: str,
+    alpha: float = 1.0,
+    a_cap: int = 16,
+    prune_chunk: int = 2048,
+    rev_passes: int = 2,
+    beam_expand: int = 4,
+):
+    """Insert T consecutive Vamana batches in ONE device dispatch."""
+
+    def step(st, off):
+        ids = off + jnp.arange(n, dtype=jnp.int32)
+        return vamana_connect_impl(
+            st, ctx, ids,
+            L=L, deg=deg, metric=metric, kind=kind, alpha=alpha,
+            a_cap=a_cap, prune_chunk=prune_chunk, rev_passes=rev_passes,
+            beam_expand=beam_expand,
+        )
+
+    return jax.lax.scan(step, state, offsets)
