@@ -223,3 +223,23 @@ def test_batched_overwrite_updates_labels():
     full = np.concatenate([d2[:450], d3])
     assert _recall(idx, full, ef=80) >= 0.85
     assert check_integrity(idx)
+
+
+def test_bulk_build_then_delete_pulls_host_mirrors():
+    """swap-with-last after bulk_build_device must pull the device-adopted
+    host mirrors first (store.swap_delete guard) — otherwise unfilled host
+    rows get marked dirty and clobber device data on the next sync."""
+    N, D = 1100, 16
+    data_dev = jax.random.normal(jax.random.PRNGKey(13), (N, D), dtype=jnp.float32)
+    data = np.asarray(data_dev)
+    idx = _mk(dim=D)
+    idx.bulk_build_device(data_dev, batch=256, scan_batches=2)
+    for lab in range(0, 100):
+        assert idx.delete_vector(lab) == 1
+    rep = idx.topk_query(data[500], 10)
+    assert int(rep.ids[0]) == 500 and rep.scores[0] <= 1e-5
+    assert _recall(idx, data[100:], ef=80, label_offset=100) >= 0.85
+    _graph_invariants(idx)
+    got = idx.get_stored_vectors(500)[0]
+    np.testing.assert_allclose(got, data[500], rtol=1e-6)
+    assert check_integrity(idx)

@@ -160,6 +160,79 @@ def test_device_build_cosine_multi():
     assert len(set(int(x) for x in reply.ids)) == len(reply.ids) == 10
 
 
+def test_bulk_build_device_matches_api():
+    import jax
+    import jax.numpy as jnp
+
+    N, D = 2048, 24
+    data_dev = jax.random.normal(jax.random.PRNGKey(7), (N, D), dtype=jnp.float32)
+    data = np.asarray(data_dev)
+    idx = _mk(dim=D)
+    idx.bulk_build_device(data_dev, batch=256, scan_batches=4)
+    assert idx.index_size == N
+    assert idx.build_dropped() == 0
+    assert idx.entry_id >= 0
+    _graph_invariants(idx)
+    assert _recall(idx, data, ws=60) >= 0.9
+    assert check_integrity(idx)
+
+
+def test_bulk_build_then_delete_pulls_host_mirrors():
+    """swap-with-last after a device-adopted build must pull host mirrors
+    first — otherwise unfilled host rows get marked dirty and clobber the
+    device copy on the next sync."""
+    import jax
+    import jax.numpy as jnp
+
+    N, D = 1100, 16
+    data_dev = jax.random.normal(jax.random.PRNGKey(8), (N, D), dtype=jnp.float32)
+    data = np.asarray(data_dev)
+    idx = _mk(dim=D)
+    idx.bulk_build_device(data_dev, batch=256, scan_batches=2)
+    for lab in range(0, 100):
+        assert idx.delete_vector(lab) == 1
+    # Surviving vectors must still be found exactly (device data intact).
+    rep = idx.topk_query(data[500], 10)
+    assert int(rep.ids[0]) == 500 and rep.scores[0] <= 1e-5
+    assert _recall(idx, data[100:], ws=80, label_offset=100) >= 0.85
+    _graph_invariants(idx)
+    # get_stored_vectors pulls the device-authoritative rows.
+    got = idx.get_stored_vectors(500)[0]
+    np.testing.assert_allclose(got, data[500], rtol=1e-6)
+
+
+@pytest.mark.parametrize("quant", [
+    VecSimSvsQuantBits.Scalar,
+    VecSimSvsQuantBits.Q4x8_LeanVec,
+])
+def test_bulk_build_device_quantized(quant):
+    """Device-side quantization pipeline (SQ8 / LeanVec PCA + secondary)
+    inside bulk_build_device."""
+    import jax
+    import jax.numpy as jnp
+
+    N, D = 1024, 32
+    data_dev = jax.random.normal(jax.random.PRNGKey(9), (N, D), dtype=jnp.float32)
+    data = np.asarray(data_dev)
+    idx = _mk(dim=D, metric=VecSimMetric.Cosine, quant=quant)
+    idx.bulk_build_device(data_dev, batch=256, scan_batches=2)
+    assert idx.index_size == N
+    _graph_invariants(idx)
+    dn = data / np.linalg.norm(data, axis=1, keepdims=True)
+    rng = np.random.default_rng(10)
+    qi = rng.integers(0, N, 24)
+    q = data[qi]
+    gt = np.argsort(1.0 - dn @ dn[qi].T, axis=0).T[:, :10]
+    params = VecSimQueryParams(svsRuntimeParams=SVSRuntimeParams(windowSize=80))
+    hits = 0
+    for b, reply in enumerate(idx.topk_query_batch(q, 10, params)):
+        hits += len(set(int(x) for x in reply.ids) & set(gt[b].tolist()))
+    assert hits / (24 * 10) >= 0.8
+    # get_distance_from decodes through pulled host mirrors.
+    d0 = idx.get_distance_from(int(qi[0]), q[0])
+    assert np.isfinite(d0) and d0 <= 0.2
+
+
 def test_svs_folder_serialization_after_device_build(tmp_path):
     """save_svs_folder pulls device-authoritative links before dumping."""
     from vectorsimilarity_tpu.utils.svs_file_format import (

@@ -233,6 +233,7 @@ class DeviceVectorIndex(VecSimIndexBase):
 
     def host_distance(self, idx: int, query: np.ndarray, qnorm=None) -> float:
         """Distance between stored row ``idx`` and a preprocessed query."""
+        self.store.pull_host("data", "norm")  # no-op unless device-adopted
         v = self.store.host["data"][idx]
         if self.is_int:
             ip = int(np.dot(v.astype(np.int64), query.astype(np.int64)))
@@ -283,4 +284,5 @@ class DeviceVectorIndex(VecSimIndexBase):
 
     def get_stored_vectors(self, label: int) -> list[np.ndarray]:
         """White-box test hook (reference ``getDataByLabel``)."""
+        self.store.pull_host("data")  # no-op unless device-adopted
         return [self.store.host["data"][i].copy() for i in self.labels.ids_of(label)]

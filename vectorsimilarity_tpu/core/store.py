@@ -160,6 +160,11 @@ class BlockStore:
         """
         last = self.count - 1
         if idx != last:
+            if self._host_stale:
+                # After adopt_device/bulk builds the device copy is the
+                # authority; copying unfilled host rows here (and marking
+                # them dirty) would push garbage back over it.
+                self.pull_host()
             for name in self.fields:
                 self.host[name][idx] = self.host[name][last]
                 self._dirty_rows[name].add(int(idx))

@@ -312,9 +312,13 @@ class SVSIndex(DeviceVectorIndex):
     # Medoid entry point
     # ------------------------------------------------------------------
 
-    def _update_medoid(self) -> None:
-        """Entry point = vector closest to the dataset mean (approx medoid)."""
-        count = self.store.count
+    def _update_medoid(self, limit: Optional[int] = None) -> None:
+        """Entry point = vector closest to the dataset mean (approx medoid).
+
+        ``limit`` restricts the computation to the first ``limit`` rows —
+        bulk builds adopt the whole dataset up front but must only pick
+        entries among rows whose graph links exist yet."""
+        count = self.store.count if limit is None else min(limit, self.store.count)
         if count == 0:
             self.entry_id = -1
             return
@@ -377,6 +381,8 @@ class SVSIndex(DeviceVectorIndex):
     def _q_dev(self, ids):
         """Primary-space float views of freshly stored rows (decoded from
         the primary codes for the quantized modes)."""
+        # Bulk builds adopt codes/scales device-side; host reads pull first.
+        self.store.pull_host("data", "vmin", "delta", "norm")
         if self.quantized:
             codes = self.store.host["data"][ids]
             if self.primary_bits == 4:
@@ -469,6 +475,183 @@ class SVSIndex(DeviceVectorIndex):
         total = sum(int(np.asarray(d).sum()) for d in self._build_dropped)
         self._build_dropped = [total]
         return int(total)
+
+    def bulk_build_device(
+        self,
+        data,
+        n: Optional[int] = None,
+        labels=None,
+        *,
+        batch: Optional[int] = None,
+        scan_batches: Optional[int] = None,
+        assume_normalized: bool = False,
+    ) -> None:
+        """Build the whole Vamana index from a device-resident dataset.
+
+        The SVS analog of ``HNSWIndex.bulk_build_device``: ``data`` is a jax
+        array [N, dim] already on device (GB-scale host uploads through a
+        relay would dominate the build). Preprocessing — normalization,
+        LeanVec projection training, SQ8/LVQ4 primary quantization, residual
+        codes — all runs on device; the padded results are adopted as the
+        store's compute copy (host mirrors pulled lazily). Construction runs
+        ``graph_build.vamana_build_scan`` segments (``scan_batches`` insert
+        batches per dispatch, zero host round-trips in between) with the
+        medoid entry refreshed between segments on the same +12.5%-growth
+        rule as the incremental path.
+
+        The index must be empty. ``labels`` defaults to 0..N-1.
+        """
+        from ..core.store import _bucket_capacity
+
+        with self._lock:
+            if self.store.count:
+                raise ValueError("bulk_build_device requires an empty index")
+            if n is None:
+                n = int(data.shape[0])
+            batch = int(batch or config.build_batch)
+            scan_batches = int(scan_batches or config.build_scan_batches)
+            self._build_dropped = []
+            cap = _bucket_capacity(n, self.store.block_size)
+
+            def padded(x, fill):
+                if x.shape[0] == cap:
+                    return x
+                out = jnp.full((cap, *x.shape[1:]), fill, dtype=x.dtype)
+                return out.at[:n].set(x[:n])
+
+            # --- device-side preprocessing ---
+            adopt: dict = {}
+            if self.quantized:
+                full = data.astype(jnp.float32)
+                if self.metric == VecSimMetric.Cosine and not assume_normalized:
+                    nrm = jnp.linalg.norm(full, axis=1, keepdims=True)
+                    full = full / jnp.where(nrm == 0, 1.0, nrm)
+                if self.is_leanvec:
+                    if self._P is None:
+                        self._train_leanvec(full[: min(n, 65536)])
+                    prim = leanvec_project(full, self._P)
+                else:
+                    prim = full
+                quantize = sq4_quantize if self.primary_bits == 4 else sq8_quantize
+                codes, vmin, delta, _, psumsq = quantize(prim)
+                adopt["data"] = padded(codes, 0)
+                adopt["vmin"] = padded(vmin, 0.0)
+                adopt["delta"] = padded(delta, 0.0)
+                if "sqnorm" in self.store.fields:
+                    adopt["sqnorm"] = padded(psumsq, 0.0)
+                if self.res_bits:
+                    if self.is_leanvec:
+                        res, rvmin, rdelta = residual_quantize(
+                            full, jnp.zeros_like(full), self.res_bits
+                        )
+                        if "rsq" in self.store.fields:
+                            adopt["rsq"] = padded(jnp.sum(full * full, axis=-1), 0.0)
+                    else:
+                        if self.primary_bits == 4:
+                            recon = sq4_reconstruct(codes, vmin, delta, self.dim)
+                        else:
+                            recon = sq8_reconstruct(codes, vmin, delta)
+                        res, rvmin, rdelta = residual_quantize(full, recon, self.res_bits)
+                    adopt["res"] = padded(res, 0)
+                    adopt["rvmin"] = padded(rvmin, 0.0)
+                    adopt["rdelta"] = padded(rdelta, 0.0)
+            elif self.store_kind == "int":
+                di = data.astype(jnp.int32)
+                if self.metric == VecSimMetric.Cosine:
+                    adopt["norm"] = padded(
+                        jnp.sqrt(jnp.sum(di * di, axis=1).astype(jnp.float32)), 1.0
+                    )
+                if "sqnorm" in self.store.fields:
+                    adopt["sqnorm"] = padded(
+                        jnp.sum(di * di, axis=1).astype(jnp.float32), 0.0
+                    )
+                adopt["data"] = padded(data, 0)
+            else:
+                dd = data.astype(self.store.fields["data"].device_dtype)
+                if self.metric == VecSimMetric.Cosine and not assume_normalized:
+                    nrm = jnp.linalg.norm(dd.astype(jnp.float32), axis=1, keepdims=True)
+                    dd = (
+                        dd.astype(jnp.float32) / jnp.where(nrm == 0, 1.0, nrm)
+                    ).astype(dd.dtype)
+                if "sqnorm" in self.store.fields:
+                    adopt["sqnorm"] = padded(
+                        jnp.sum(dd.astype(jnp.float32) ** 2, axis=1), 0.0
+                    )
+                adopt["data"] = padded(dd, 0)
+            adopt["links"] = jnp.full((cap, self.R), -1, dtype=jnp.int32)
+            adopt["nlinks"] = jnp.zeros((cap,), dtype=jnp.int32)
+            self.store.adopt_device(adopt, count=n)
+
+            # --- host metadata (labels; vectors/codes stay device-only) ---
+            labs = (
+                np.arange(n, dtype=np.int64)
+                if labels is None
+                else np.asarray(labels, dtype=np.int64)
+            )
+            self.store.host["label"][:n] = labs
+            if self.multi:
+                for i in range(n):
+                    slot = self.labels.add(int(labs[i]), i)
+                    self.store.host["slot"][i] = slot
+            else:
+                self.labels.label_to_id = {int(l): i for i, l in enumerate(labs)}
+
+            # --- fused construction: scan segments + pow2 tail ---
+            dev = self.store.device_arrays()
+            ctx = self._ctx(dev)
+            kw = dict(
+                L=self.L_build,
+                deg=self.R,
+                metric=self.metric,
+                kind=self.store_kind,
+                alpha=self._prune_alpha,
+                a_cap=config.build_reverse_cap,
+                beam_expand=config.build_beam_expand,
+            )
+            state = graph_build.VamanaState(
+                dev["links"], dev["nlinks"], jnp.int32(-1)
+            )
+            nb = n // batch
+            pos = 0
+            built_at_medoid = 0  # rows built at the last medoid refresh
+            while nb - pos >= 2:
+                T = min(scan_batches, nb - pos)
+                off0 = pos * batch
+                offsets = jnp.arange(off0, off0 + T * batch, batch, dtype=jnp.int32)
+
+                def run_segment(s=state, o=offsets):
+                    s2, d2 = graph_build.vamana_build_scan(s, ctx, o, n=batch, **kw)
+                    # Force execution before the next segment enqueues (the
+                    # relay kills sessions running multi-minute programs, and
+                    # the read surfaces retryable failures here).
+                    return s2, int(np.asarray(d2).sum())
+
+                state, dropped = retry_device(run_segment)
+                self._build_dropped.append(dropped)
+                pos += T
+                built = pos * batch
+                # Same growth rule as the incremental path: refresh the
+                # medoid once the prefix grew >12.5% since the last refresh
+                # (the entry must stay among rows that already have links).
+                if (built - built_at_medoid) * 8 > built or built_at_medoid == 0:
+                    self._update_medoid(limit=built)
+                    built_at_medoid = built
+                    state = graph_build.VamanaState(
+                        state.links, state.nlinks, jnp.int32(self.entry_id)
+                    )
+                self.log("debug", f"svs bulk build: {built}/{n}")
+            self.store._device["links"] = state.links
+            self.store._device["nlinks"] = state.nlinks
+            self.store.mark_host_stale("links", "nlinks")
+            self._host_links_stale = True
+            if state.entry >= 0:
+                self.entry_id = int(state.entry)
+            tail_start = pos * batch
+            if tail_start < n:
+                self._connect_batch_device(
+                    np.arange(tail_start, n, dtype=np.int32)
+                )
+            self._update_medoid()
 
     def _connect_batch(self, ids: list[int], raw_vecs: np.ndarray) -> None:
         self._ensure_host_links()  # host path writes host link rows directly
@@ -900,6 +1083,9 @@ class SVSIndex(DeviceVectorIndex):
         secondary SQ8 for LeanVec, primary+residual for two-level LVQ,
         primary decode otherwise. (4-bit rows of odd dim decode one pad
         column wider; callers dot against zero-padded queries.)"""
+        self.store.pull_host(
+            "data", "vmin", "delta", "res", "rvmin", "rdelta", "sqnorm", "rsq"
+        )  # no-op unless device-adopted
         host = self.store.host
         ids = np.asarray(ids)
         if self.is_leanvec:
