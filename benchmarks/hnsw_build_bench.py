@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--data", choices=["embedding", "random"], default="embedding")
     ap.add_argument("--intrinsic-dim", type=int, default=48)
     ap.add_argument("--efs", type=str, default="10,50,100,200,500")
+    ap.add_argument("--multi", type=int, default=0, metavar="PER_LABEL",
+                    help="multi-value index with PER_LABEL vectors per label "
+                         "(the fashion_images-multi analog, "
+                         "hnsw_indices_all.txt:4-5); recall over labels")
     ap.add_argument("--skip-sweep", action="store_true")
     args = ap.parse_args()
 
@@ -85,13 +89,16 @@ def main():
     _ = float(jnp.sum(data[:: max(cap // 16, 1), 0]))
     queries = np.asarray(qdev)
 
+    per_label = max(args.multi, 0)
+    labels = np.arange(n, dtype=np.int64) // per_label if per_label > 1 else None
     idx = HNSWIndex(HNSWParams(
         type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.Cosine,
+        multi=per_label > 1,
         M=args.m, efConstruction=args.efc, initialCapacity=n))
     t0 = time.perf_counter()
     # Both data branches above produce unit rows, so the build adopts the
     # SAME buffer instead of a normalized 3 GB clone (OOM headroom at 1M).
-    idx.bulk_build_device(data, n=n, batch=args.batch,
+    idx.bulk_build_device(data, n=n, labels=labels, batch=args.batch,
                           scan_batches=args.scan_batches,
                           assume_normalized=True)
     dropped = idx.build_dropped()  # forces the whole build chain
@@ -113,7 +120,21 @@ def main():
     bf.labels.label_to_id = {i: i for i in range(n)}
     bf.store.host["label"][:n] = np.arange(n, dtype=np.int64)
     gt_k = max(args.k, 10)
-    gt = [set(r.ids[:gt_k].tolist()) for r in bf.topk_query_batch(queries, gt_k)]
+    if per_label > 1:
+        # Label-level ground truth: top ids in score order, deduped by
+        # label, keep the first gt_k labels (== per-label min-score rule).
+        gt = []
+        for r in bf.topk_query_batch(queries, gt_k * per_label):
+            seen: list = []
+            for i in r.ids.tolist():
+                lab = i // per_label
+                if lab not in seen:
+                    seen.append(lab)
+                if len(seen) == gt_k:
+                    break
+            gt.append(set(seen))
+    else:
+        gt = [set(r.ids[:gt_k].tolist()) for r in bf.topk_query_batch(queries, gt_k)]
 
     for ef in (int(x) for x in args.efs.split(",")):
         params = vs.VecSimQueryParams()
