@@ -222,3 +222,50 @@ def test_first_batch_empty_graph():
     assert int(state.entry) >= 0
     rec = _recall_at(state, ctx, data, ef=32, nq=16)
     assert rec >= 0.95, rec
+
+
+def test_prune_chunked_internal_dists_matches_precomputed():
+    """cand_dists=None computes anchor→candidate distances inside the row
+    chunks (the path that keeps large-M reverse-edge repruning out of a
+    one-shot [rows, C, D] gather); results must match the precomputed-cd
+    call bit-for-bit, chunked and unchunked, float and sq8 kinds."""
+    import jax.numpy as jnp
+
+    from vectorsimilarity_tpu.ops.graph_search import (
+        StoreCtx, dists_to_ids, diversity_prune_chunked)
+    from vectorsimilarity_tpu.ops.quantize import sq8_quantize
+    from vectorsimilarity_tpu.types import VecSimMetric
+
+    rng = np.random.default_rng(11)
+    N, D, B, C, m = 600, 16, 384, 24, 6  # B=384 > min chunk 128 -> 3 chunks
+    data = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    cand = rng.integers(-1, N, (B, C)).astype(np.int32)
+
+    ctx = StoreCtx(data=jnp.asarray(data), sqnorm=jnp.asarray((data ** 2).sum(-1)),
+                   norm=None, vmin=None, delta=None, nav=None)
+    kw = dict(m=m, metric=VecSimMetric.L2, kind="float", alpha=0.9)
+    cd = dists_to_ids(jnp.asarray(q), jnp.asarray(cand), ctx,
+                      metric=VecSimMetric.L2, kind="float")
+    a = diversity_prune_chunked(jnp.asarray(q), jnp.asarray(cand), cd, ctx,
+                                chunk=128, **kw)
+    b = diversity_prune_chunked(jnp.asarray(q), jnp.asarray(cand), None, ctx,
+                                chunk=128, **kw)
+    c = diversity_prune_chunked(jnp.asarray(q), jnp.asarray(cand), None, ctx,
+                                chunk=4096, **kw)  # unchunked fast path
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # sq8 kind threads q_meta through the chunked map.
+    codes, vmin, delta, _, psumsq = sq8_quantize(jnp.asarray(data))
+    ctx8 = StoreCtx(data=codes, sqnorm=psumsq, norm=None, vmin=vmin,
+                    delta=delta, nav=None)
+    qm = (jnp.sum(jnp.asarray(q), axis=-1), jnp.sum(jnp.asarray(q) ** 2, axis=-1))
+    kw8 = dict(m=m, metric=VecSimMetric.L2, kind="sq8", alpha=0.9)
+    cd8 = dists_to_ids(jnp.asarray(q), jnp.asarray(cand), ctx8,
+                       metric=VecSimMetric.L2, kind="sq8", q_meta=qm)
+    a8 = diversity_prune_chunked(jnp.asarray(q), jnp.asarray(cand), cd8, ctx8,
+                                 chunk=128, **kw8)
+    b8 = diversity_prune_chunked(jnp.asarray(q), jnp.asarray(cand), None, ctx8,
+                                 q_meta=qm, chunk=128, **kw8)
+    np.testing.assert_array_equal(np.asarray(a8), np.asarray(b8))

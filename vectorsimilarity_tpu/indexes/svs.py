@@ -88,13 +88,16 @@ class SVSIndex(DeviceVectorIndex):
         self.alpha = params.alpha or (
             SVS_VAMANA_DEFAULT_ALPHA_L2 if metric == VecSimMetric.L2 else SVS_VAMANA_DEFAULT_ALPHA_IP
         )
-        # In Vamana, alpha>1 RELAXES pruning for L2 (keeps more diverse
-        # edges): candidate discarded when alpha*d(kept,c) <= d(q,c) means a
-        # larger alpha discards FEWER... for our rule (discard when
-        # alpha*pair < qd) alpha>1 discards more; invert to 1/alpha so
-        # alpha=1.2 keeps the classic Vamana behavior of pruning less
-        # aggressively than HNSW's alpha=1.
-        self._prune_alpha = 1.0 / self.alpha if self.alpha > 0 else 1.0
+        # The prune rule (ops/graph_search.diversity_prune_impl) discards a
+        # candidate c when alpha * d(c, kept) < d(q, c) — exactly DiskANN's
+        # robust-prune inequality, so alpha passes VERBATIM: alpha=1.2 (L2
+        # default) makes the violation RARER than alpha=1 → fewer discards →
+        # the classic denser Vamana graph; alpha=0.95 (IP default) prunes
+        # slightly more than heuristic-2. (An earlier 1/alpha inversion had
+        # this backwards: L2 graphs built ~45% sparser — mean degree 8.2 vs
+        # 14.9 at R=16 — with occasional unreachable nodes and ~2.5pt lower
+        # recall at equal window; measured 900x24, ws=30: 0.972 -> 0.997.)
+        self._prune_alpha = self.alpha if self.alpha > 0 else 1.0
 
         quant = VecSimSvsQuantBits(params.quantBits)
         self.requested_quant = quant
@@ -889,7 +892,23 @@ class SVSIndex(DeviceVectorIndex):
                 np.concatenate([p[1] for p in parts]),
             )
 
-    def _search_knn_locked(self, queries: np.ndarray, k: int, ef: int):
+    def search_resumable(self, queries: np.ndarray, k: int, ef: int, state=None):
+        """Resumable beam search for deep paging (``SVSBatchIterator``):
+        pass the returned ``state`` back with a larger window to continue
+        expansion without re-visiting nodes — the single-layer analog of
+        ``HNSWIndex.search_resumable`` (the reference's
+        ``svs::vamana::iterator`` similarly resumes its internal schedule,
+        ``svs_batch_iterator.h:23-60``). State is invalidated by any index
+        mutation (count/capacity/entry changes)."""
+        with self._lock:
+            bd, bi, st = self._search_knn_locked(
+                np.atleast_2d(queries), k, ef,
+                init_state=state, return_state=True,
+            )
+            return bd, bi, st
+
+    def _search_knn_locked(self, queries: np.ndarray, k: int, ef: int,
+                           *, init_state=None, return_state: bool = False):
         count = self.store.count
         q, qnorms, qmeta = self.preprocess_queries(queries)
         nq = len(q)
@@ -924,11 +943,16 @@ class SVSIndex(DeviceVectorIndex):
             metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
         )[:, 0]
         ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(count), 1))
-        bd, bi = beam_search(
+        out = beam_search(
             qd, ctx, dev["links"], None, e, ed, self.store.capacity,
             ef=ef_pad, metric=self.metric, kind=self.store_kind, q_norm=qn, q_meta=qm,
             expand=config.resolve_search_expand(ef),
+            init_state=init_state, return_state=return_state,
         )
+        if return_state:
+            bd, bi, state, _, _ = out
+            return np.asarray(bd)[:nq], np.asarray(bi)[:nq], state
+        bd, bi = out
         return np.asarray(bd)[:nq], np.asarray(bi)[:nq]
 
     # ------------------------------------------------------------------

@@ -1,8 +1,14 @@
-"""SVS batch iterator — growing-window resumable search.
+"""SVS batch iterator — resumable frontier semantics.
 
-Reference: ``svs_batch_iterator.h:23-60`` wraps ``svs::vamana::iterator``.
-Same host-cache design as the HNSW iterator: serve from scored-but-unserved
-results, re-search with a doubled window when dry.
+Reference: ``svs_batch_iterator.h:23-60`` wraps ``svs::vamana::iterator``,
+which resumes its internal search schedule between batches. Same design as
+``HNSWBatchIterator``: the device beam state ``(beam, expanded-flags,
+visited bitmap)`` carries across refills via ``SVSIndex.search_resumable``,
+so deep paging expands every node once; when the window reaches the index
+size a fresh terminal pass restores completeness (scored-then-evicted nodes
+are suppressed by their visited bits in a resumed beam). Index mutations
+invalidate the carried state (store snapshot) and fall back to a fresh
+search with the served-label set kept.
 """
 
 from __future__ import annotations
@@ -32,6 +38,8 @@ class SVSBatchIterator:
         self._seen: set[int] = set()
         self._ws = self._base_ws
         self._exhausted = False
+        self._state = None  # carried device beam state (frontier + visited)
+        self._snapshot = None  # (count, capacity, entry) the state is valid for
 
     def is_depleted(self) -> bool:
         if self._pending:
@@ -40,8 +48,17 @@ class SVSBatchIterator:
 
     def _search_more(self) -> None:
         idx = self.index
+        snap = (idx.store.count, idx.store.capacity, idx.entry_id)
+        if snap != self._snapshot:
+            self._state = None
+            self._snapshot = snap
         ws = min(self._ws, max(idx.index_size, 1))
-        dists, ids = idx.search_knn(self.query, min(ws, idx.index_size), ws)
+        if ws >= idx.index_size:
+            # Terminal full-width pass runs FRESH (see module docstring).
+            self._state = None
+        dists, ids, self._state = idx.search_resumable(
+            self.query, min(ws, idx.index_size), ws, self._state
+        )
         if getattr(idx, "res_bits", 0):
             dists, ids = idx._refine(np.atleast_2d(self.query), dists, ids)
         row_i, row_d = ids[0], dists[0]

@@ -177,12 +177,12 @@ def apply_reverse_edges_device(
     qv, qn, qm = anchor_queries(ctx, anchor, kind, metric)
     # Don't let a row keep itself.
     cand = jnp.where(cand == dst_s[:, None], -1, cand)
-    cd = dists_to_ids(
-        qv, cand, ctx, metric=metric, kind=kind, q_norm=qn, q_meta=qm
-    )
+    # cand_dists=None: the anchor→candidate distances are computed inside
+    # the prune's row chunks — one up-front dists_to_ids here gathers
+    # [rows, C, D] at once (13.5 GB at batch 1024 x M0=128 x dim 768).
     pruned = diversity_prune_chunked(
-        qv, cand, cd, ctx, m=m_cap, metric=metric, kind=kind, alpha=alpha,
-        q_norm=qn, chunk=prune_chunk,
+        qv, cand, None, ctx, m=m_cap, metric=metric, kind=kind, alpha=alpha,
+        q_norm=qn, q_meta=qm, chunk=prune_chunk,
     )
     apply_rows = jnp.where(is_start & valid_s & ~fits, key_s, R)
     links = links.at[apply_rows].set(pruned, mode="drop")

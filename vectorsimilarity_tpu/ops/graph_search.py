@@ -540,7 +540,7 @@ diversity_prune.__doc__ = "Jitted wrapper of diversity_prune_impl."
 
 def diversity_prune_chunked(
     q, cand_ids, cand_dists, ctx, *, m, metric, kind, alpha=1.0, q_norm=None,
-    chunk=2048,
+    q_meta=None, chunk=2048,
 ):
     """diversity_prune over many rows in fixed-size chunks.
 
@@ -550,36 +550,68 @@ def diversity_prune_chunked(
     rows at a time with ``lax.map``, with ``chunk`` shrunk to a ~0.5 GB
     working set. Unjitted — meant to be inlined into fused construction
     programs.
+
+    ``cand_dists=None`` computes the anchor→candidate distances INSIDE each
+    chunk (``dists_to_ids``): the full [rows, C, D] gather behind a single
+    up-front distance call is itself the dominant allocation at large-M
+    reverse-edge scale (13.5 GB at batch 1024 x M0=128 x 768 bf16 — the
+    round-3 1M M=64 OOM), so it must be chunked with everything else.
+    ``q_meta`` carries the sq8 asymmetric-kernel metadata for that case.
     """
     B = q.shape[0]
     c_eff = min(cand_ids.shape[1], max(8 * m, 64))
     D = ctx.data.shape[-1]
-    per_row = 4 * c_eff * (2 * D + c_eff)
+    # Working set per row: the prune's candidate vectors + pair matrix, and
+    # (when computing distances here) the C-wide gather for dists_to_ids.
+    C = cand_ids.shape[1] if cand_dists is None else 0
+    per_row = 4 * c_eff * (2 * D + c_eff) + 2 * C * D
     chunk = max(min(chunk, (512 << 20) // max(per_row, 1)), 128)
-    if B <= chunk:
+
+    def full(qc, ci, cd, qnc, qmc):
+        if cd is None:
+            cd = dists_to_ids(
+                qc, ci, ctx, metric=metric, kind=kind, q_norm=qnc, q_meta=qmc
+            )
         return diversity_prune_impl(
-            q, cand_ids, cand_dists, ctx, m=m, metric=metric, kind=kind,
-            alpha=alpha, q_norm=q_norm,
-        )
+            qc, ci, cd, ctx, m=m, metric=metric, kind=kind, alpha=alpha,
+            q_norm=qnc,
+        ), cd
+
+    if B <= chunk:
+        return full(q, cand_ids, cand_dists, q_norm, q_meta)[0]
     n_chunks = -(-B // chunk)
     pad = n_chunks * chunk - B
     qp = jnp.pad(q, ((0, pad), (0, 0)))
     cip = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
-    cdp = jnp.pad(cand_dists, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    cdp = (
+        None if cand_dists is None
+        else jnp.pad(cand_dists, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    )
     qn = None if q_norm is None else jnp.pad(q_norm, (0, pad), constant_values=1.0)
+    qm = (
+        None if q_meta is None
+        else tuple(None if x is None else jnp.pad(x, (0, pad)) for x in q_meta)
+    )
 
     def one(args):
-        if qn is None:
-            qc, ci, cd = args
-            qnc = None
-        else:
-            qc, ci, cd, qnc = args
-        return diversity_prune_impl(
-            qc, ci, cd, ctx, m=m, metric=metric, kind=kind, alpha=alpha, q_norm=qnc
+        qc, ci = args[0], args[1]
+        rest = list(args[2:])
+        cd = rest.pop(0) if cdp is not None else None
+        qnc = rest.pop(0) if qn is not None else None
+        qmc = (
+            None if qm is None
+            else tuple(rest.pop(0) if x is not None else None for x in qm)
         )
+        return full(qc, ci, cd, qnc, qmc)[0]
 
     sh = lambda x: x.reshape(n_chunks, chunk, *x.shape[1:])
-    args = (sh(qp), sh(cip), sh(cdp)) + (() if qn is None else (sh(qn),))
+    args = (sh(qp), sh(cip))
+    if cdp is not None:
+        args += (sh(cdp),)
+    if qn is not None:
+        args += (sh(qn),)
+    if qm is not None:
+        args += tuple(sh(x) for x in qm if x is not None)
     out = jax.lax.map(one, args)
     return out.reshape(n_chunks * chunk, m)[:B]
 
