@@ -168,3 +168,108 @@ def test_graft_entry_single_and_multichip():
     d, i = jax.jit(fn)(*args)
     assert d.shape[-1] == 10
     ge.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Data-sharded graph index (parallel/sharded_graph.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("metric", [VecSimMetric.L2, VecSimMetric.Cosine])
+def test_sharded_hnsw_recall(mesh, metric):
+    """Each device owns a subgraph over 1/8 of the rows; the SPMD search +
+    merge must recover the exact global top-k at small scale."""
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedHNSW
+    from vectorsimilarity_tpu.types import HNSWParams, VecSimType
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 1600, 32, 10
+    p = HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=metric,
+        M=8, efConstruction=80, efRuntime=60,
+    )
+    idx = ShardedHNSW(p, mesh)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.add_vector_batch(data, list(range(n)))
+    assert idx.size == n
+    qs = rng.standard_normal((8, dim)).astype(np.float32)
+    reps = idx.topk_query_batch(qs, k)
+    if metric == VecSimMetric.Cosine:  # index normalizes both sides
+        gt = gt_scores(
+            qs / np.linalg.norm(qs, axis=1, keepdims=True),
+            data / np.linalg.norm(data, axis=1, keepdims=True),
+            metric,
+        )
+    else:
+        gt = gt_scores(qs, data, metric)
+    want = np.argsort(gt, axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(r.ids.tolist()) & set(want[b].tolist())) / k
+         for b, r in enumerate(reps)]
+    )
+    assert recall >= 0.95, recall
+    # Scores come back ascending and match exact distances.
+    for r in reps:
+        assert (np.diff(r.scores) >= -1e-6).all()
+
+
+def test_sharded_hnsw_delete_and_requery(mesh):
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedHNSW
+    from vectorsimilarity_tpu.types import HNSWParams, VecSimType
+
+    rng = np.random.default_rng(8)
+    n, dim, k = 1200, 24, 10
+    p = HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        M=8, efConstruction=80, efRuntime=60,
+    )
+    idx = ShardedHNSW(p, mesh)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.add_vector_batch(data, list(range(n)))
+    for lab in range(0, n, 3):
+        assert idx.delete_vector(lab) == 1
+    assert idx.delete_vector(0) == 0  # already gone
+    assert idx.size == n - len(range(0, n, 3))
+    qs = rng.standard_normal((6, dim)).astype(np.float32)
+    live = np.asarray([l for l in range(n) if l % 3 != 0])
+    want = [
+        set(live[np.argsort(((qs[b] - data[live]) ** 2).sum(-1))[:k]].tolist())
+        for b in range(len(qs))
+    ]
+    reps = idx.topk_query_batch(qs, k)
+    for b, r in enumerate(reps):
+        got = r.ids.tolist()
+        assert not any(l % 3 == 0 for l in got)
+        assert len(set(got) & want[b]) / k >= 0.9
+    # Incremental adds after deletes keep routing/merge consistent.
+    fresh = rng.standard_normal((16, dim)).astype(np.float32)
+    idx.add_vector_batch(fresh, list(range(n, n + 16)))
+    rep = idx.topk_query(fresh[3], 1)
+    assert rep.ids.tolist() == [n + 3]
+
+
+def test_sharded_hnsw_result_is_union_of_shards(mesh):
+    """The merged reply must equal the host-side merge of each subgraph's own
+    search at the same ef — the SPMD program changes where the work runs,
+    not what it computes."""
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedHNSW
+    from vectorsimilarity_tpu.types import HNSWParams, VecSimType
+
+    rng = np.random.default_rng(9)
+    n, dim, k = 800, 16, 8
+    p = HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        M=8, efConstruction=60, efRuntime=40,
+    )
+    idx = ShardedHNSW(p, mesh)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.add_vector_batch(data, list(range(n)))
+    q = rng.standard_normal((1, dim)).astype(np.float32)
+    rep = idx.topk_query(q[0], k)
+    per_shard = []
+    for s in idx.shards:
+        r = s.topk_query(q[0], k)
+        per_shard += list(zip(r.ids.tolist(), r.scores.tolist()))
+    want = sorted(per_shard, key=lambda t: (t[1], t[0]))[:k]
+    assert rep.ids.tolist() == [t[0] for t in want]
+    np.testing.assert_allclose(rep.scores, [t[1] for t in want], rtol=1e-5)

@@ -1,0 +1,305 @@
+"""Data-sharded graph index: independent subgraphs, one per mesh device.
+
+``parallel.sharding`` covers the flat scan (rows sharded, all-gather top-k
+merge) and query-parallel graph serving (graph replicated, query batch
+sharded). This module adds the remaining axis from SURVEY §7.10 — "HNSW CSR
+sharded": the *dataset* is partitioned across the mesh, each device owns an
+independent HNSW subgraph over its partition, and a query searches every
+subgraph concurrently (SPMD over the shard axis) before a single top-k merge
+collective combines the per-shard candidates.
+
+This is the standard distributed-ANN recipe (IVF-style sharding with a
+graph per shard): per-shard recall at ef equals single-graph recall at the
+same ef because each subgraph is an ordinary HNSW over its rows, and the
+merge of S exact per-shard top-k lists is the exact global top-k of the
+union. The reference has no multi-node story (SURVEY §2 "Parallelism");
+this is its TPU-native replacement, scaling index *memory* (each chip holds
+1/S of the vectors + links), unlike ``to_query_sharded`` which scales only
+throughput.
+
+Design notes:
+- Per-shard stores stay ordinary ``HNSWIndex`` objects (all mutation paths —
+  add/delete/repair/serialize — reused verbatim); only the *read* path is
+  fused: per-shard device arrays are stacked on a leading shard axis, placed
+  ``P(AXIS, ...)`` over the mesh, and a single jitted program vmaps the
+  greedy-descent + ef-beam kernels over that axis. GSPMD runs each shard's
+  beam on its owning device; the only collective is the final [B, S·k]
+  top-k merge (an all-gather of k candidates per shard — tiny, rides ICI).
+- Labels route to shards round-robin at first sight and stick (a label's
+  values colocate, so multi-value dedup and overwrite semantics stay
+  per-shard problems the sub-index already solves).
+- The stacked placement is cached and invalidated by any mutation; a
+  rebuild pads every shard to the max (capacity, upper-capacity, lmax)
+  bucket so the stacked program recompiles O(log N) times, same as the
+  single-index kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import config
+from ..core.abstract_index import pow2_bucket
+from ..core.results import QueryReply, make_reply
+from ..indexes.hnsw import FLAG_DELETED, HNSWIndex
+from ..ops.graph_search import (
+    StoreCtx,
+    beam_search_impl,
+    dists_to_ids,
+    greedy_level_impl,
+)
+from ..types import HNSWParams, VecSimMetric, VecSimQueryParams
+from .sharding import AXIS
+
+
+def _search_one_shard(
+    q, qn, arrs, entry, count, *, k, ef, lmax, cap, metric, kind, expand
+):
+    """Exact-fp32 descent + beam on ONE shard's arrays; [B, k] local result.
+
+    Mirrors ``HNSWIndex._device_search`` minus the bf16 nav shadow (the
+    stacked program reads fp32 rows directly: one gather instead of
+    gather + rerank keeps the cross-shard program simple, and per-shard
+    batches are a fraction of the single-index batch so the bandwidth
+    win matters less).
+    """
+    B = q.shape[0]
+    ctx = StoreCtx(
+        data=arrs["data"], sqnorm=arrs.get("sqnorm"), norm=arrs.get("norm")
+    )
+    ep = jnp.maximum(entry, 0)
+    cur = jnp.full((B,), ep, dtype=jnp.int32)
+    cur_d = dists_to_ids(
+        q, cur[:, None], ctx, metric=metric, kind=kind, q_norm=qn
+    )[:, 0]
+    for lvl in range(lmax, 0, -1):
+        # Shards whose max level < lvl see all -1 links at this depth (the
+        # upper links array is -1-padded), so the descent is a masked no-op.
+        cur, cur_d = greedy_level_impl(
+            q, ctx, arrs["ulinks"], arrs["upper_row"], cur, cur_d,
+            jnp.int32(lvl), metric=metric, kind=kind, q_norm=qn,
+        )
+    bd, bi = beam_search_impl(
+        q, ctx, arrs["links0"], None, cur, cur_d, cap,
+        ef=ef, metric=metric, kind=kind, q_norm=qn, expand=expand,
+    )
+    w = bd.shape[1]
+    if w < k:
+        bd = jnp.pad(bd, ((0, 0), (0, k - w)), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, k - w)), constant_values=-1)
+    bd, bi = bd[:, :k], bi[:, :k]
+    empty = count <= 0
+    bd = jnp.where(empty | (bi < 0), jnp.inf, bd)
+    bi = jnp.where(empty, -1, bi)
+    return bd, bi
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ef", "lmax", "cap", "metric", "kind", "expand")
+)
+def sharded_graph_topk(
+    q, qn, stacked, entry, count, *, k, ef, lmax, cap, metric, kind, expand
+):
+    """All-shard search + global merge.
+
+    ``stacked`` arrays carry a leading shard axis placed over the mesh;
+    ``q`` is replicated. vmap over the shard axis keeps every per-shard
+    kernel local to its device (GSPMD partitions the batched while-loops
+    shard-parallel; shards iterate in lockstep until the slowest converges,
+    the same barrier batched queries already accept). The [B, S·k] merge is
+    the one cross-device collective.
+
+    Returns (dists [B, k], local_ids [B, k], shard_of [B, k]).
+    """
+    metric = VecSimMetric(metric)
+    fn = functools.partial(
+        _search_one_shard, k=k, ef=ef, lmax=lmax, cap=cap,
+        metric=metric, kind=kind, expand=expand,
+    )
+    axes = ({name: 0 for name in stacked}, 0, 0)
+    bd, bi = jax.vmap(lambda a, e, c: fn(q, qn, a, e, c), in_axes=axes)(
+        stacked, entry, count
+    )  # [S, B, k]
+    B = q.shape[0]
+    all_d = jnp.transpose(bd, (1, 0, 2)).reshape(B, -1)  # [B, S*k]
+    all_i = jnp.transpose(bi, (1, 0, 2)).reshape(B, -1)
+    neg, sel = jax.lax.top_k(-all_d, k)
+    ids = jnp.take_along_axis(all_i, sel, axis=1)
+    shard_of = (sel // k).astype(jnp.int32)
+    shard_of = jnp.where(ids >= 0, shard_of, -1)
+    return -neg, ids, shard_of
+
+
+class ShardedHNSW:
+    """HNSW with the dataset partitioned across a ``jax.sharding.Mesh``.
+
+    Write paths delegate to per-shard ``HNSWIndex`` objects (round-robin
+    label routing); the read path runs all subgraph searches as one SPMD
+    program (``sharded_graph_topk``). See the module docstring.
+    """
+
+    def __init__(self, params: HNSWParams, mesh, seed: int = 200):
+        self.mesh = mesh
+        self.n_shards = int(mesh.shape[AXIS])
+        self.params = params
+        self.shards = [
+            HNSWIndex(params, seed=seed + 1000 * i) for i in range(self.n_shards)
+        ]
+        self._label_shard: dict[int, int] = {}
+        self._rr = 0
+        self._placed = None  # (stacked, entry, count, lmax, cap, max_count)
+
+    # -- write path ----------------------------------------------------
+
+    def _shard_of_label(self, label: int) -> int:
+        s = self._label_shard.get(label)
+        if s is None:
+            s = self._rr % self.n_shards
+            self._rr += 1
+            self._label_shard[label] = s
+        return s
+
+    def add_vector(self, blob, label: int) -> int:
+        return self.add_vector_batch(np.atleast_2d(np.asarray(blob)), [label])
+
+    def add_vector_batch(self, data, labels) -> int:
+        data = np.atleast_2d(np.asarray(data))
+        groups: dict[int, list[int]] = {}
+        for i, lab in enumerate(labels):
+            groups.setdefault(self._shard_of_label(int(lab)), []).append(i)
+        added = 0
+        for s, rows in groups.items():
+            added += self.shards[s].add_vector_batch(
+                data[rows], [int(labels[i]) for i in rows]
+            )
+        self._placed = None
+        return added
+
+    def delete_vector(self, label: int) -> int:
+        s = self._label_shard.get(int(label))
+        if s is None:
+            return 0
+        removed = self.shards[s].delete_vector(int(label))
+        if removed:
+            del self._label_shard[int(label)]
+            self._placed = None
+        return removed
+
+    @property
+    def size(self) -> int:
+        return sum(s.index_size for s in self.shards)
+
+    @property
+    def index_size(self) -> int:
+        return self.size
+
+    # -- read path -----------------------------------------------------
+
+    def _ensure_placed(self):
+        if self._placed is not None:
+            return self._placed
+        cap = max(s.store.capacity for s in self.shards)
+        ucap = max(max(s.upper.capacity for s in self.shards), 1)
+        lmax = max(s.lmax for s in self.shards)
+
+        def pad_rows(a, n, fill):
+            if a.shape[0] < n:
+                pads = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+                a = jnp.pad(a, pads, constant_values=fill)
+            return a
+
+        per = []
+        for s in self.shards:
+            dev = s.store.device_arrays()
+            udev = s.upper.device_arrays()
+            arrs = {
+                "data": pad_rows(dev["data"], cap, 0),
+                "links0": pad_rows(dev["links0"], cap, -1),
+                "upper_row": pad_rows(dev["upper_row"], cap, -1),
+            }
+            for name in ("sqnorm", "norm"):
+                if dev.get(name) is not None:
+                    arrs[name] = pad_rows(dev[name], cap, 0)
+            ul = udev["links"]  # [ucap_s, lmax_s, M]
+            if ul.shape[1] < lmax:
+                ul = jnp.pad(
+                    ul, ((0, 0), (0, lmax - ul.shape[1]), (0, 0)),
+                    constant_values=-1,
+                )
+            arrs["ulinks"] = pad_rows(ul, ucap, -1)
+            per.append(arrs)
+        stacked = {
+            name: jnp.stack([p[name] for p in per]) for name in per[0]
+        }
+        # Place: leading shard axis over the mesh, everything else local.
+        stacked = {
+            name: jax.device_put(
+                a, NamedSharding(self.mesh, P(AXIS, *([None] * (a.ndim - 1))))
+            )
+            for name, a in stacked.items()
+        }
+        sspec = NamedSharding(self.mesh, P(AXIS))
+        entry = jax.device_put(
+            jnp.asarray([s.entry_id for s in self.shards], dtype=jnp.int32), sspec
+        )
+        count = jax.device_put(
+            jnp.asarray([s.store.count for s in self.shards], dtype=jnp.int32),
+            sspec,
+        )
+        max_count = max(s.store.count for s in self.shards)
+        self._placed = (stacked, entry, count, lmax, cap, max_count)
+        return self._placed
+
+    def topk_query(
+        self, query, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> QueryReply:
+        return self.topk_query_batch(np.atleast_2d(np.asarray(query)), k, params)[0]
+
+    def topk_query_batch(
+        self, queries, k: int, params: Optional[VecSimQueryParams] = None
+    ) -> list[QueryReply]:
+        s0 = self.shards[0]
+        queries = np.atleast_2d(np.asarray(queries))
+        nq = len(queries)
+        if self.size == 0 or k <= 0:
+            return [make_reply([], []) for _ in range(nq)]
+        ef = s0._effective_ef(k, params)
+        q, qnorms = s0.preprocess_queries(queries)
+        stacked, entry, count, lmax, cap, max_count = self._ensure_placed()
+        ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(max_count), 1))
+        qd = jnp.asarray(q)
+        qn = None if qnorms is None else jnp.asarray(qnorms)
+        bd, bi, bs = sharded_graph_topk(
+            qd, qn, stacked, entry, count,
+            k=k, ef=ef_pad, lmax=lmax, cap=cap,
+            metric=s0.metric, kind=s0.store_kind,
+            expand=config.resolve_search_expand(ef),
+        )
+        bd, bi, bs = np.asarray(bd), np.asarray(bi), np.asarray(bs)
+        flags = [s.store.host["flags"] for s in self.shards]
+        id_to_label = [s.store.host["label"] for s in self.shards]
+        out = []
+        for b in range(nq):
+            rows = []
+            seen: set[int] = set()
+            for j in range(k):
+                s, i = int(bs[b, j]), int(bi[b, j])
+                if s < 0 or i < 0:
+                    continue
+                if flags[s][i] & FLAG_DELETED:
+                    continue
+                lab = int(id_to_label[s][i])
+                if s0.multi and lab in seen:
+                    continue
+                seen.add(lab)
+                rows.append((lab, float(bd[b, j])))
+            out.append(
+                make_reply([r[0] for r in rows], [r[1] for r in rows])
+            )
+        return out
