@@ -273,3 +273,41 @@ def test_sharded_hnsw_result_is_union_of_shards(mesh):
     want = sorted(per_shard, key=lambda t: (t[1], t[0]))[:k]
     assert rep.ids.tolist() == [t[0] for t in want]
     np.testing.assert_allclose(rep.scores, [t[1] for t in want], rtol=1e-5)
+
+
+def test_sharded_vamana_recall_and_delete(mesh):
+    """Single-layer sibling: per-device Vamana subgraphs (medoid entry),
+    same SPMD search + merge path."""
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedVamana
+    from vectorsimilarity_tpu.types import (
+        SVSParams, VecSimSvsQuantBits, VecSimType,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 1200, 24, 10
+    p = SVSParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        graph_max_degree=16, construction_window_size=60,
+        search_window_size=50,
+    )
+    idx = ShardedVamana(p, mesh)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.add_vector_batch(data, list(range(n)))
+    qs = rng.standard_normal((6, dim)).astype(np.float32)
+    want = np.argsort(gt_scores(qs, data, VecSimMetric.L2), axis=1)[:, :k]
+    reps = idx.topk_query_batch(qs, k)
+    rec = np.mean(
+        [len(set(r.ids.tolist()) & set(want[b].tolist())) / k
+         for b, r in enumerate(reps)]
+    )
+    assert rec >= 0.9, rec
+    for lab in range(0, n, 4):
+        idx.delete_vector(lab)
+    for r in idx.topk_query_batch(qs, k):
+        assert not any(l % 4 == 0 for l in r.ids.tolist())
+    # Quantized search spaces are per-shard metadata + rerank passes the
+    # cross-shard program doesn't reproduce — constructor must refuse.
+    with pytest.raises(ValueError):
+        ShardedVamana(
+            SVSParams(type=VecSimType.FLOAT32, dim=dim,
+                      quantBits=VecSimSvsQuantBits.Q8), mesh)

@@ -67,7 +67,8 @@ def _search_one_shard(
     stacked program reads fp32 rows directly: one gather instead of
     gather + rerank keeps the cross-shard program simple, and per-shard
     batches are a fraction of the single-index batch so the bandwidth
-    win matters less).
+    win matters less). Single-layer graphs (Vamana) pass no ``ulinks`` and
+    go straight from the shard's entry/medoid into the beam.
     """
     B = q.shape[0]
     ctx = StoreCtx(
@@ -78,15 +79,16 @@ def _search_one_shard(
     cur_d = dists_to_ids(
         q, cur[:, None], ctx, metric=metric, kind=kind, q_norm=qn
     )[:, 0]
-    for lvl in range(lmax, 0, -1):
-        # Shards whose max level < lvl see all -1 links at this depth (the
-        # upper links array is -1-padded), so the descent is a masked no-op.
-        cur, cur_d = greedy_level_impl(
-            q, ctx, arrs["ulinks"], arrs["upper_row"], cur, cur_d,
-            jnp.int32(lvl), metric=metric, kind=kind, q_norm=qn,
-        )
+    if "ulinks" in arrs:
+        for lvl in range(lmax, 0, -1):
+            # Shards whose max level < lvl see all -1 links at this depth
+            # (the upper links array is -1-padded): a masked no-op.
+            cur, cur_d = greedy_level_impl(
+                q, ctx, arrs["ulinks"], arrs["upper_row"], cur, cur_d,
+                jnp.int32(lvl), metric=metric, kind=kind, q_norm=qn,
+            )
     bd, bi = beam_search_impl(
-        q, ctx, arrs["links0"], None, cur, cur_d, cap,
+        q, ctx, arrs["links"], None, cur, cur_d, cap,
         ef=ef, metric=metric, kind=kind, q_norm=qn, expand=expand,
     )
     w = bd.shape[1]
@@ -136,24 +138,36 @@ def sharded_graph_topk(
     return -neg, ids, shard_of
 
 
-class ShardedHNSW:
-    """HNSW with the dataset partitioned across a ``jax.sharding.Mesh``.
+class _ShardedGraphBase:
+    """Shared machinery: label routing, per-shard delegation, array
+    stacking/placement, and the merged SPMD query path. Subclasses supply
+    the per-shard index type and its link-array layout."""
 
-    Write paths delegate to per-shard ``HNSWIndex`` objects (round-robin
-    label routing); the read path runs all subgraph searches as one SPMD
-    program (``sharded_graph_topk``). See the module docstring.
-    """
-
-    def __init__(self, params: HNSWParams, mesh, seed: int = 200):
+    def __init__(self, params, mesh, seed: int = 200):
         self.mesh = mesh
         self.n_shards = int(mesh.shape[AXIS])
         self.params = params
-        self.shards = [
-            HNSWIndex(params, seed=seed + 1000 * i) for i in range(self.n_shards)
-        ]
+        self.shards = [self._new_shard(i, seed) for i in range(self.n_shards)]
         self._label_shard: dict[int, int] = {}
         self._rr = 0
         self._placed = None  # (stacked, entry, count, lmax, cap, max_count)
+
+    # subclass hooks -----------------------------------------------------
+
+    def _new_shard(self, i: int, seed: int):
+        raise NotImplementedError
+
+    def _shard_arrays(self, shard, cap, ucap, lmax, pad_rows) -> dict:
+        raise NotImplementedError
+
+    def _lmax_of(self, shard) -> int:
+        return 0
+
+    def _ucap_of(self, shard) -> int:
+        return 1
+
+    def _window(self, k: int, params) -> int:
+        raise NotImplementedError
 
     # -- write path ----------------------------------------------------
 
@@ -205,8 +219,8 @@ class ShardedHNSW:
         if self._placed is not None:
             return self._placed
         cap = max(s.store.capacity for s in self.shards)
-        ucap = max(max(s.upper.capacity for s in self.shards), 1)
-        lmax = max(s.lmax for s in self.shards)
+        ucap = max(max(self._ucap_of(s) for s in self.shards), 1)
+        lmax = max(self._lmax_of(s) for s in self.shards)
 
         def pad_rows(a, n, fill):
             if a.shape[0] < n:
@@ -214,26 +228,9 @@ class ShardedHNSW:
                 a = jnp.pad(a, pads, constant_values=fill)
             return a
 
-        per = []
-        for s in self.shards:
-            dev = s.store.device_arrays()
-            udev = s.upper.device_arrays()
-            arrs = {
-                "data": pad_rows(dev["data"], cap, 0),
-                "links0": pad_rows(dev["links0"], cap, -1),
-                "upper_row": pad_rows(dev["upper_row"], cap, -1),
-            }
-            for name in ("sqnorm", "norm"):
-                if dev.get(name) is not None:
-                    arrs[name] = pad_rows(dev[name], cap, 0)
-            ul = udev["links"]  # [ucap_s, lmax_s, M]
-            if ul.shape[1] < lmax:
-                ul = jnp.pad(
-                    ul, ((0, 0), (0, lmax - ul.shape[1]), (0, 0)),
-                    constant_values=-1,
-                )
-            arrs["ulinks"] = pad_rows(ul, ucap, -1)
-            per.append(arrs)
+        per = [
+            self._shard_arrays(s, cap, ucap, lmax, pad_rows) for s in self.shards
+        ]
         stacked = {
             name: jnp.stack([p[name] for p in per]) for name in per[0]
         }
@@ -269,8 +266,8 @@ class ShardedHNSW:
         nq = len(queries)
         if self.size == 0 or k <= 0:
             return [make_reply([], []) for _ in range(nq)]
-        ef = s0._effective_ef(k, params)
-        q, qnorms = s0.preprocess_queries(queries)
+        ef = self._window(k, params)
+        q, qnorms = s0.preprocess_queries(queries)[:2]
         stacked, entry, count, lmax, cap, max_count = self._ensure_placed()
         ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(max_count), 1))
         qd = jnp.asarray(q)
@@ -303,3 +300,79 @@ class ShardedHNSW:
                 make_reply([r[0] for r in rows], [r[1] for r in rows])
             )
         return out
+
+
+class ShardedHNSW(_ShardedGraphBase):
+    """HNSW with the dataset partitioned across a ``jax.sharding.Mesh``.
+
+    Write paths delegate to per-shard ``HNSWIndex`` objects (round-robin
+    label routing); the read path runs all subgraph searches as one SPMD
+    program (``sharded_graph_topk``). See the module docstring.
+    """
+
+    def _new_shard(self, i: int, seed: int):
+        return HNSWIndex(self.params, seed=seed + 1000 * i)
+
+    def _lmax_of(self, shard) -> int:
+        return shard.lmax
+
+    def _ucap_of(self, shard) -> int:
+        return shard.upper.capacity
+
+    def _window(self, k: int, params) -> int:
+        return self.shards[0]._effective_ef(k, params)
+
+    def _shard_arrays(self, s, cap, ucap, lmax, pad_rows) -> dict:
+        dev = s.store.device_arrays()
+        udev = s.upper.device_arrays()
+        arrs = {
+            "data": pad_rows(dev["data"], cap, 0),
+            "links": pad_rows(dev["links0"], cap, -1),
+            "upper_row": pad_rows(dev["upper_row"], cap, -1),
+        }
+        for name in ("sqnorm", "norm"):
+            if dev.get(name) is not None:
+                arrs[name] = pad_rows(dev[name], cap, 0)
+        ul = udev["links"]  # [ucap_s, lmax_s, M]
+        if ul.shape[1] < lmax:
+            ul = jnp.pad(
+                ul, ((0, 0), (0, lmax - ul.shape[1]), (0, 0)),
+                constant_values=-1,
+            )
+        arrs["ulinks"] = pad_rows(ul, ucap, -1)
+        return arrs
+
+
+class ShardedVamana(_ShardedGraphBase):
+    """SVS-Vamana with the dataset partitioned across the mesh — the
+    single-layer sibling of ``ShardedHNSW``: each device owns an
+    independent Vamana subgraph (medoid entry, alpha-pruned links), and
+    the SPMD program beams every subgraph from its own medoid before the
+    global merge. Unquantized stores only (the quantized search space
+    carries per-row metadata + rerank passes the cross-shard program
+    doesn't reproduce; shard quantized indexes via ``to_query_sharded``).
+    """
+
+    def _new_shard(self, i: int, seed: int):
+        from ..indexes.svs import SVSIndex
+        from ..types import VecSimSvsQuantBits
+
+        if VecSimSvsQuantBits(self.params.quantBits) != VecSimSvsQuantBits.NONE:
+            raise ValueError(
+                "ShardedVamana supports unquantized SVS indexes only"
+            )
+        return SVSIndex(self.params)
+
+    def _window(self, k: int, params) -> int:
+        return self.shards[0]._effective_ws(k, params)
+
+    def _shard_arrays(self, s, cap, ucap, lmax, pad_rows) -> dict:
+        dev = s.store.device_arrays()
+        arrs = {
+            "data": pad_rows(dev["data"], cap, 0),
+            "links": pad_rows(dev["links"], cap, -1),
+        }
+        for name in ("sqnorm", "norm"):
+            if dev.get(name) is not None:
+                arrs[name] = pad_rows(dev[name], cap, 0)
+        return arrs
