@@ -311,3 +311,44 @@ def test_sharded_vamana_recall_and_delete(mesh):
         ShardedVamana(
             SVSParams(type=VecSimType.FLOAT32, dim=dim,
                       quantBits=VecSimSvsQuantBits.Q8), mesh)
+
+
+def test_sharded_graph_range_and_persistence(mesh):
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedHNSW
+    from vectorsimilarity_tpu.types import HNSWParams, QueryReplyOrder, VecSimType
+
+    rng = np.random.default_rng(5)
+    n, dim = 800, 16
+    p = HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        M=8, efConstruction=60, efRuntime=40,
+    )
+    idx = ShardedHNSW(p, mesh)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.add_vector_batch(data, list(range(n)))
+    q = data[42]
+    rad = float(np.sort(((data - q) ** 2).sum(-1))[12])
+    rep = idx.range_query(q, rad)
+    want = set(np.where(((data - q) ** 2).sum(-1) <= rad)[0].tolist())
+    got = set(rep.ids.tolist())
+    # Epsilon-range is approximate at the boundary (hnsw.h:1991-2092);
+    # everything returned must be in range, and nearly everything in range
+    # must be returned.
+    assert got <= want
+    assert len(got & want) / len(want) >= 0.9
+    assert (np.diff(rep.scores) >= -1e-9).all()
+    by_id = idx.range_query(q, rad, order=QueryReplyOrder.BY_ID)
+    assert (np.diff(by_id.ids) > 0).all()
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "sharded")
+        idx.save(path)
+        idx2 = ShardedHNSW.load(path, mesh)
+        r1 = idx.topk_query(q, 10)
+        r2 = idx2.topk_query(q, 10)
+        assert r1.ids.tolist() == r2.ids.tolist()
+        idx2.delete_vector(42)
+        assert 42 not in idx2.topk_query(q, 10).ids.tolist()

@@ -301,6 +301,79 @@ class _ShardedGraphBase:
             )
         return out
 
+    def range_query(self, query, radius: float, params=None, order=None):
+        """Union of per-shard epsilon-range searches. Range results are
+        unbounded-size, so the merge happens host-side (no fixed-k
+        collective to ride); each shard reuses its index's own range
+        kernel (hnsw.h:1991-2092 semantics)."""
+        from ..types import QueryReplyOrder
+
+        order = QueryReplyOrder.BY_SCORE if order is None else order
+        ids: list[int] = []
+        scores: list[float] = []
+        for s in self.shards:
+            r = (s.range_query(query, radius, params)
+                 if params is not None else s.range_query(query, radius))
+            ids += r.ids.tolist()
+            scores += r.scores.tolist()
+        ids_a = np.asarray(ids, dtype=np.int64)
+        sc_a = np.asarray(scores, dtype=np.float64)
+        if order == QueryReplyOrder.BY_ID:
+            o = np.argsort(ids_a, kind="stable")
+        else:
+            o = np.lexsort((ids_a, sc_a))
+        return make_reply(ids_a[o], sc_a[o])
+
+    # -- persistence ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Directory layout: shard_<i>.npz (each via the ordinary
+        serializer) + routing.json (label->shard map and the round-robin
+        cursor)."""
+        import json
+        import os
+
+        from ..utils.serializer import save_index
+
+        os.makedirs(path, exist_ok=True)
+        for i, s in enumerate(self.shards):
+            save_index(s, os.path.join(path, f"shard_{i}.npz"))
+        with open(os.path.join(path, "routing.json"), "w") as f:
+            json.dump(
+                {"n_shards": self.n_shards, "rr": self._rr,
+                 "label_shard": {str(k): v for k, v in self._label_shard.items()}},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str, mesh):
+        import json
+        import os
+
+        from ..utils.serializer import load_index
+
+        with open(os.path.join(path, "routing.json")) as f:
+            routing = json.load(f)
+        n = routing["n_shards"]
+        if int(mesh.shape[AXIS]) != n:
+            raise ValueError(
+                f"index was saved with {n} shards; mesh has {mesh.shape[AXIS]}"
+            )
+        shards = [
+            load_index(os.path.join(path, f"shard_{i}.npz")) for i in range(n)
+        ]
+        obj = cls.__new__(cls)
+        obj.mesh = mesh
+        obj.n_shards = n
+        obj.params = shards[0].params
+        obj.shards = shards
+        obj._label_shard = {
+            int(k): v for k, v in routing["label_shard"].items()
+        }
+        obj._rr = routing["rr"]
+        obj._placed = None
+        return obj
+
 
 class ShardedHNSW(_ShardedGraphBase):
     """HNSW with the dataset partitioned across a ``jax.sharding.Mesh``.
