@@ -46,6 +46,8 @@ from .indexes.factory import (  # noqa: F401
     estimate_initial_size,
 )
 from .ops.normalize import normalize_blob as normalize  # noqa: F401
+from .parallel.sharded_graph import ShardedHNSW, ShardedVamana  # noqa: F401
+from .parallel.sharding import make_mesh  # noqa: F401
 from .query_params import resolve_params  # noqa: F401
 
 __version__ = "0.1.0"
