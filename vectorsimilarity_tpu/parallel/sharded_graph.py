@@ -37,6 +37,7 @@ Design notes:
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional
 
 import numpy as np
@@ -151,6 +152,10 @@ class _ShardedGraphBase:
         self._label_shard: dict[int, int] = {}
         self._rr = 0
         self._placed = None  # (stacked, entry, count, lmax, cap, max_count)
+        # One host lock serializes mutation vs placement/query, the same
+        # contract as the single indexes (reads are batched dispatches;
+        # sub-index locks guard their own bookkeeping).
+        self._lock = threading.RLock()
 
     # subclass hooks -----------------------------------------------------
 
@@ -183,6 +188,10 @@ class _ShardedGraphBase:
         return self.add_vector_batch(np.atleast_2d(np.asarray(blob)), [label])
 
     def add_vector_batch(self, data, labels) -> int:
+        with self._lock:
+            return self._add_vector_batch_locked(data, labels)
+
+    def _add_vector_batch_locked(self, data, labels) -> int:
         data = np.atleast_2d(np.asarray(data))
         groups: dict[int, list[int]] = {}
         for i, lab in enumerate(labels):
@@ -196,14 +205,15 @@ class _ShardedGraphBase:
         return added
 
     def delete_vector(self, label: int) -> int:
-        s = self._label_shard.get(int(label))
-        if s is None:
-            return 0
-        removed = self.shards[s].delete_vector(int(label))
-        if removed:
-            del self._label_shard[int(label)]
-            self._placed = None
-        return removed
+        with self._lock:
+            s = self._label_shard.get(int(label))
+            if s is None:
+                return 0
+            removed = self.shards[s].delete_vector(int(label))
+            if removed:
+                del self._label_shard[int(label)]
+                self._placed = None
+            return removed
 
     @property
     def size(self) -> int:
@@ -268,6 +278,11 @@ class _ShardedGraphBase:
             return [make_reply([], []) for _ in range(nq)]
         ef = self._window(k, params)
         q, qnorms = s0.preprocess_queries(queries)[:2]
+        with self._lock:
+            return self._query_locked(q, qnorms, k, ef, nq)
+
+    def _query_locked(self, q, qnorms, k, ef, nq):
+        s0 = self.shards[0]
         stacked, entry, count, lmax, cap, max_count = self._ensure_placed()
         ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(max_count), 1))
         qd = jnp.asarray(q)
@@ -311,11 +326,12 @@ class _ShardedGraphBase:
         order = QueryReplyOrder.BY_SCORE if order is None else order
         ids: list[int] = []
         scores: list[float] = []
-        for s in self.shards:
-            r = (s.range_query(query, radius, params)
-                 if params is not None else s.range_query(query, radius))
-            ids += r.ids.tolist()
-            scores += r.scores.tolist()
+        with self._lock:
+            for s in self.shards:
+                r = (s.range_query(query, radius, params)
+                     if params is not None else s.range_query(query, radius))
+                ids += r.ids.tolist()
+                scores += r.scores.tolist()
         ids_a = np.asarray(ids, dtype=np.int64)
         sc_a = np.asarray(scores, dtype=np.float64)
         if order == QueryReplyOrder.BY_ID:
@@ -335,15 +351,17 @@ class _ShardedGraphBase:
 
         from ..utils.serializer import save_index
 
-        os.makedirs(path, exist_ok=True)
-        for i, s in enumerate(self.shards):
-            save_index(s, os.path.join(path, f"shard_{i}.npz"))
-        with open(os.path.join(path, "routing.json"), "w") as f:
-            json.dump(
-                {"n_shards": self.n_shards, "rr": self._rr,
-                 "label_shard": {str(k): v for k, v in self._label_shard.items()}},
-                f,
-            )
+        with self._lock:
+            os.makedirs(path, exist_ok=True)
+            for i, s in enumerate(self.shards):
+                save_index(s, os.path.join(path, f"shard_{i}.npz"))
+            with open(os.path.join(path, "routing.json"), "w") as f:
+                json.dump(
+                    {"n_shards": self.n_shards, "rr": self._rr,
+                     "label_shard": {str(k): v
+                                     for k, v in self._label_shard.items()}},
+                    f,
+                )
 
     @classmethod
     def load(cls, path: str, mesh):
@@ -372,6 +390,7 @@ class _ShardedGraphBase:
         }
         obj._rr = routing["rr"]
         obj._placed = None
+        obj._lock = threading.RLock()
         return obj
 
 
