@@ -400,3 +400,36 @@ def test_sharded_hnsw_concurrent_add_query(mesh):
     assert idx.size == n
     rep = idx.topk_query(data[500], 1)
     assert rep.ids.tolist() == [500]
+
+
+def test_sharded_hnsw_bulk_build_device(mesh):
+    """Round-robin partition of a device-resident dataset; every shard
+    bulk-builds with the fused scan, then the SPMD query path serves it."""
+    import jax.numpy as jnp
+
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedHNSW
+    from vectorsimilarity_tpu.types import HNSWParams, VecSimType
+
+    rng = np.random.default_rng(21)
+    n, dim, k = 1600, 16, 10
+    p = HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        M=8, efConstruction=60, efRuntime=50,
+    )
+    idx = ShardedHNSW(p, mesh)
+    host = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.bulk_build_device(jnp.asarray(host), batch=64, scan_batches=2)
+    assert idx.size == n
+    qs = host[:6] + 0.01 * rng.standard_normal((6, dim)).astype(np.float32)
+    reps = idx.topk_query_batch(qs, k)
+    want = np.argsort(gt_scores(qs, host, VecSimMetric.L2), axis=1)[:, :k]
+    rec = np.mean(
+        [len(set(r.ids.tolist()) & set(want[b].tolist())) / k
+         for b, r in enumerate(reps)]
+    )
+    assert rec >= 0.9, rec
+    # Routing stayed consistent: deletes and incremental adds still land.
+    idx.delete_vector(int(want[0][0]))
+    assert int(want[0][0]) not in idx.topk_query(qs[0], k).ids.tolist()
+    idx.add_vector(host[3] * 0.5, n + 1)
+    assert (n + 1) in idx.topk_query(host[3] * 0.5, 1).ids.tolist()

@@ -215,6 +215,34 @@ class _ShardedGraphBase:
                 self._placed = None
             return removed
 
+    def bulk_build_device(self, data, n=None, labels=None, **kw) -> None:
+        """Partition a device-resident dataset round-robin and bulk-build
+        every shard's subgraph with the single-index fused scan
+        (``HNSWIndex``/``SVSIndex.bulk_build_device``). ``data`` is a jax
+        array [N, dim]; per-shard strided slices stay on device, so the
+        host never touches the vectors (relay-friendly, same rationale as
+        the single-index bulk path)."""
+        with self._lock:
+            if self.size:
+                raise ValueError("bulk_build_device requires an empty index")
+            n = int(data.shape[0]) if n is None else int(n)
+            labels = (
+                np.arange(n, dtype=np.int64) if labels is None
+                else np.asarray(labels)
+            )
+            S = self.n_shards
+            for i, s in enumerate(self.shards):
+                rows = np.arange(i, n, S)
+                if not len(rows):
+                    continue
+                s.bulk_build_device(
+                    data[i:n:S], labels=labels[rows].tolist(), **kw
+                )
+                for lab in labels[rows]:
+                    self._label_shard[int(lab)] = i
+            self._rr = n
+            self._placed = None
+
     @property
     def size(self) -> int:
         return sum(s.index_size for s in self.shards)
