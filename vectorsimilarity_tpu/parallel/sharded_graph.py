@@ -251,6 +251,17 @@ class _ShardedGraphBase:
     def index_size(self) -> int:
         return self.size
 
+    @property
+    def memory_bytes(self) -> int:
+        """Sum of per-shard accounting plus the stacked placement cache
+        (the padded copies device_put over the mesh)."""
+        total = sum(s.memory_bytes for s in self.shards)
+        if self._placed is not None:
+            stacked = self._placed[0]
+            total += sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                         for a in stacked.values())
+        return total
+
     # -- read path -----------------------------------------------------
 
     def _ensure_placed(self):
