@@ -278,3 +278,141 @@ def test_bigk_engine_integration():
     rep = idx.topk_query(q, k)
     want = np.argsort(((data - q) ** 2).sum(1))[:k]
     assert rep.ids.tolist() == want.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Group-min compact selection (group_n < tile_n): census + in-kernel repair
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("metric", [VecSimMetric.Cosine, VecSimMetric.L2])
+def test_group_selection_parity(metric):
+    # L = tile_n / group_n = 8: selection runs over the strided group view
+    # with the exactness census; result must match the full-width merge.
+    n, d, b, k = 2048, 32, 8, 16
+    q, data = _mk(n, d, b, seed=20)
+    sqn = jnp.sum(data.astype(jnp.float32) ** 2, axis=1)
+    pd, pi = pallas_topk(q, data, sqn, jnp.int32(n), k,
+                         metric=metric, tile_n=512, group_n=64, interpret=True)
+    rd, ri = _ref_topk(q, data, n, k, metric)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert np.allclose(pd, rd, atol=5e-4)
+    flip = pi != ri
+    if flip.any():
+        assert np.abs(pd[flip] - rd[flip]).max() < 5e-4
+
+
+def test_group_repair_collisions():
+    # Adversarial placement: ALL of the true top-k sit in ONE strided group
+    # (ids k apart... here multiples of group_n within one tile), so the
+    # group view can emit only one of them per merge — the census must
+    # detect the hidden entries and the in-kernel repair must recover the
+    # exact answer.
+    rng = np.random.default_rng(21)
+    n, d, b, k, G = 512, 32, 4, 8, 64
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # rows 0, G, 2G, ... (k of them) = near-exact matches of query 0..b-1,
+    # all in group 0 of tile 0 (tile_n = n = one tile).
+    for t in range(k):
+        src = q[t % b]
+        data[t * G] = src + 1e-4 * rng.standard_normal(d).astype(np.float32)
+        data[t * G] /= np.linalg.norm(data[t * G])
+    qj, dj = jnp.asarray(q), jnp.asarray(data)
+    pd, pi = pallas_topk(qj, dj, None, jnp.int32(n), k,
+                         metric=VecSimMetric.Cosine, tile_n=512, group_n=G,
+                         interpret=True)
+    rd, ri = _ref_topk(q, data, n, k, VecSimMetric.Cosine)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert np.allclose(pd, rd, atol=5e-4)
+    # the planted ids must all be found for their own query
+    for b_i in range(b):
+        planted = {t * G for t in range(k) if t % b == b_i}
+        assert planted.issubset(set(pi[b_i].tolist()))
+
+
+def test_group_multipass_large_k():
+    # k > PASS_K with the group view active in every pass.
+    n, d, b, k = 1024, 32, 4, 200
+    q, data = _mk(n, d, b, seed=22)
+    pd, pi = pallas_topk(q, data, None, jnp.int32(n), k,
+                         metric=VecSimMetric.Cosine, tile_n=256, group_n=32,
+                         interpret=True)
+    rd, ri = _ref_topk(q, data, n, k, VecSimMetric.Cosine)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert np.allclose(pd, rd, atol=5e-4)
+    assert (np.diff(pd, axis=1) >= -1e-7).all()
+    for row in pi:
+        assert len(set(row.tolist())) == k
+
+
+def test_group_duplicate_ties_exactness():
+    # Exact ties spread across groups and tiles: census equality on tie
+    # boundaries must still produce the lex-exact (distance, id) set.
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((8, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    data = jnp.asarray(np.tile(base, (64, 1)))  # 512 rows, every vector x64
+    q = jnp.asarray(base[:2])
+    pd, pi = pallas_topk(q, data, None, jnp.int32(512), 64,
+                         metric=VecSimMetric.Cosine, tile_n=128, group_n=32,
+                         interpret=True)
+    rd, ri = _ref_topk(np.asarray(q), np.asarray(data), 512, 64,
+                       VecSimMetric.Cosine)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    np.testing.assert_array_equal(pi, ri)  # ties resolve by lower id, exactly
+
+
+# ---------------------------------------------------------------------------
+# uint8 lane (in-kernel shift + exact int32 correction)
+# ---------------------------------------------------------------------------
+
+
+def _mk_uint8(n, d, b, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, size=(n, d)).astype(np.uint8)
+    q = rng.integers(0, 256, size=(b, d)).astype(np.uint8)
+    return jnp.asarray(q), jnp.asarray(data)
+
+
+@pytest.mark.parametrize("metric", [VecSimMetric.L2, VecSimMetric.IP])
+def test_uint8_lane_parity(metric):
+    n, d, b, k = 512, 64, 4, 10
+    q, data = _mk_uint8(n, d, b, seed=30)
+    pd, pi = pallas_topk(q, data, None, jnp.int32(n), k,
+                         metric=metric, tile_n=128, interpret=True)
+    rd, ri = _ref_topk_int(q, data, n, k, metric)
+    # Integer algebra is exact end-to-end: bit-identical to the reference.
+    np.testing.assert_array_equal(np.asarray(pi), ri)
+    np.testing.assert_array_equal(np.asarray(pd), rd)
+
+
+def test_uint8_cosine_parity():
+    n, d, b, k = 512, 64, 4, 10
+    q, data = _mk_uint8(n, d, b, seed=31)
+    dn = jnp.sqrt(jnp.sum(data.astype(jnp.int32) ** 2, axis=1).astype(jnp.float32))
+    qn = jnp.sqrt(jnp.sum(q.astype(jnp.int32) ** 2, axis=1).astype(jnp.float32))
+    pd, pi = pallas_topk(q, data, dn, jnp.int32(n), k,
+                         metric=VecSimMetric.Cosine, tile_n=128, interpret=True,
+                         query_norms=qn)
+    rd, ri = _ref_topk_int(q, data, n, k, VecSimMetric.Cosine,
+                           data_norms=dn, query_norms=qn)
+    pd, pi = np.asarray(pd), np.asarray(pi)
+    assert np.allclose(pd, rd, atol=1e-6)
+    flip = pi != ri
+    if flip.any():  # fp division rounding near-ties only
+        assert np.abs(pd[flip] - rd[flip]).max() < 1e-6
+
+
+def test_uint8_count_masking_and_groups():
+    n, d, b, k = 512, 32, 2, 8
+    q, data = _mk_uint8(n, d, b, seed=32)
+    count = 300
+    pd, pi = pallas_topk(q, data, None, jnp.int32(count), k,
+                         metric=VecSimMetric.L2, tile_n=256, group_n=64,
+                         interpret=True)
+    assert int(np.asarray(pi).max()) < count
+    rd, ri = _ref_topk_int(q, data, count, k, VecSimMetric.L2)
+    np.testing.assert_array_equal(np.asarray(pi), ri)

@@ -126,6 +126,11 @@ pallas_tile_n: int = 4096
 # per 1024 x 1M batch at k=512); "always" still forces the multipass
 # single-buffer kernel for k > pallas_max_k.
 pallas_max_k: int = 128
+# Strided group count for the kernel's compact selection view: the k-pop
+# merge runs over [B, group_n] instead of [B, tile_n], with an exact
+# in-kernel census + full-width repair for the rare group collision.
+# Smaller = cheaper pops but more repairs on early tiles.
+pallas_group_n: int = 512
 # Per-tile survivor count for the big-k path; exactness is verified by the
 # kernel's truncation flag (fallback to streaming on the ~never case).
 pallas_local_c: int = 32
@@ -136,9 +141,10 @@ def _pallas_common(kind: str, capacity: int, dtype=None) -> bool:
     if use_pallas == "never":
         return False
     if kind == "int":
-        # int8 rides the kernel's s8·s8→s32 MXU lane; uint8 stays on the
-        # XLA path (shift+correction algebra, ops/distances._int_dot).
-        if dtype is None or jnp.dtype(dtype) != jnp.int8:
+        # int8 rides the kernel's s8·s8→s32 MXU lane; uint8 rides the
+        # "uint" lane (in-kernel shift + exact int32 correction, the
+        # ops/distances._int_dot algebra).
+        if dtype is None or jnp.dtype(dtype) not in (jnp.int8, jnp.uint8):
             return False
     elif kind != "float":
         return False

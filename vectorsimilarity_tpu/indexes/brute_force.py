@@ -220,6 +220,7 @@ class BruteForceIndex(DeviceVectorIndex):
                     metric=self.metric,
                     tile_n=min(config.pallas_tile_n, self.store.capacity),
                     query_norms=qn,
+                    group_n=config.pallas_group_n,
                 )
             if config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
                                           self.store.fields["data"].device_dtype):
@@ -283,6 +284,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 metric=self.metric,
                 tile_n=min(config.pallas_tile_n, self.store.capacity),
                 query_norms=None if qnorms is None else jnp.asarray(qnorms),
+                group_n=config.pallas_group_n,
             )
         elif config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
                                         self.store.fields["data"].device_dtype):

@@ -24,10 +24,17 @@ with ``config.fp32_matmul_precision == "highest"`` is not supported
 in-kernel — ``config.pallas_enabled`` gates it off.
 
 Merge strategy: per grid step, candidates better than the current k-th best
-are rare after the first few tiles; the kernel counts them first and only
-runs the O(k) selection passes when the tile actually improves the top-k
-(threshold skip), so the steady-state cost is one matmul + one compare per
-tile.
+are rare after the first few tiles; the kernel reduces the tile to strided
+GROUP minima first (G groups, a few fixed VPU passes) and only runs the
+O(k) selection over the compact [B, G] group view when the tile actually
+improves the top-k (threshold skip). Selection over the group view is exact
+unless one group hides a second entry that belongs in the top-k; the kernel
+detects that case EXACTLY (a lexicographic census of the tile against the
+new k-th best must match the number of pops taken from the tile) and
+repairs in-kernel with a full-width merge. At batch 1024 some query
+improves on essentially every tile, so moving the pop loop from [B, tile_n]
+to [B, G] is what makes the cheap-dtype (bf16/int8/uint8) lanes
+matmul-bound instead of selection-bound.
 
 k > 128 (the reference's BF k=500 config) runs as ⌈k/128⌉ passes over the
 data: each pass excludes everything lexicographically <= the previous pass's
@@ -74,6 +81,33 @@ def _tile_scores(metric, mode, tile_n, q_ref, qaux_ref, data_ref, sqn_ref):
     ``spaces/IP/IP.cpp:258-287``).
     """
     dims = (((1,), (1,)), ((), ()))
+    if mode == "uint":
+        # uint8 rows, shifted into s8 range in-VMEM so the dot rides the
+        # MXU s8·s8→s32 path, then corrected exactly in int32 — the same
+        # algebra as ``ops.distances._int_dot``:
+        #   q·d = (q-128)·(d-128) + 128·Σ(q-128) + 128·Σ(d-128) + 128²·D
+        # (queries arrive pre-shifted as int8; row shifts happen here on
+        # the tile already in VMEM). L2 needs no correction at all:
+        # (q-d) == (qs-ds). Matches spaces/functions/ uint8 kernels
+        # (reference: exact integer accumulate, one float cast at the end).
+        D = q_ref.shape[1]
+        ds = (data_ref[:].astype(jnp.int16) - 128).astype(jnp.int8)
+        ip = jax.lax.dot_general(
+            q_ref[:], ds, dims, preferred_element_type=jnp.int32
+        )
+        if metric == VecSimMetric.L2:
+            di = ds.astype(jnp.int32)
+            dsq = jnp.sum(di * di, axis=1).reshape(1, tile_n)
+            qsq = qaux_ref[:, 0:1].astype(jnp.int32)
+            return (qsq - 2 * ip + dsq).astype(jnp.float32)
+        dsum = jnp.sum(ds.astype(jnp.int32), axis=1).reshape(1, tile_n)
+        qsum = qaux_ref[:, 0:1].astype(jnp.int32)
+        dot = ip + 128 * qsum + 128 * dsum + (128 * 128) * D
+        if metric == VecSimMetric.Cosine:
+            return 1.0 - dot.astype(jnp.float32) / (
+                qaux_ref[:, 1:2] * sqn_ref[:].reshape(1, tile_n)
+            )
+        return 1.0 - dot.astype(jnp.float32)
     if mode == "int":
         ip = jax.lax.dot_general(
             q_ref[:], data_ref[:], dims, preferred_element_type=jnp.int32
@@ -108,15 +142,70 @@ def _tile_scores(metric, mode, tile_n, q_ref, qaux_ref, data_ref, sqn_ref):
     return 1.0 - ip
 
 
+def _pop_merge(k, B, gids, cand_s, cand_i, best_d_val, best_i_val, count_tile):
+    """Lexicographic k-pop merge of (best ∪ candidates).
+
+    Pops the (distance, id) minimum of the union k times with knockout.
+    ``cand_s``/``cand_i`` is [B, W] — the full tile (exact merge) or the
+    compact group-min view (fast merge). When ``count_tile`` is True also
+    returns how many finite pops came from the candidate side (the exact
+    verification census for the fast path).
+
+    The EXPLICIT id tie-break matters: the multipass k>128 chain excludes
+    by (lo_d, lo_i), so equal distances crossing a pass boundary must be
+    ordered by id or an id can repeat/vanish across passes (observed
+    on-device with bf16_3x ties at 1M).
+    """
+    new_d = jnp.zeros((B, k), dtype=jnp.float32)
+    new_i = jnp.zeros((B, k), dtype=jnp.int32)
+    t_cnt = jnp.zeros((B,), dtype=jnp.int32)
+    BIG = jnp.int32(2**31 - 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+
+    def step(t, carry):
+        cur_s, cur_best_d, cur_best_i, new_d, new_i, t_cnt = carry
+        bmin = jnp.min(cur_best_d, axis=1)
+        smin = jnp.min(cur_s, axis=1)
+        # Lowest id among the row minima of each side.
+        bid = jnp.min(
+            jnp.where(cur_best_d == bmin[:, None], cur_best_i, BIG), axis=1
+        )
+        sid = jnp.min(jnp.where(cur_s == smin[:, None], cand_i, BIG), axis=1)
+        take_b = (bmin < smin) | ((bmin == smin) & (bid <= sid))
+        val = jnp.where(take_b, bmin, smin)
+        idx = jnp.where(take_b, bid, sid)
+        # One-hot write (scatter is not lowerable in Mosaic).
+        write = colk == t
+        new_d = jnp.where(write, val[:, None], new_d)
+        new_i = jnp.where(write, idx[:, None], new_i)
+        # Knock out the consumed entry (unique by (value, id)).
+        maskb = (cur_best_d == bmin[:, None]) & (cur_best_i == bid[:, None])
+        masks = (cur_s == smin[:, None]) & (cand_i == sid[:, None])
+        cur_best_d = jnp.where(take_b[:, None] & maskb, jnp.inf, cur_best_d)
+        cur_s = jnp.where((~take_b)[:, None] & masks, jnp.inf, cur_s)
+        if count_tile:
+            t_cnt = t_cnt + jnp.where(~take_b & (val < jnp.inf), 1, 0)
+        return cur_s, cur_best_d, cur_best_i, new_d, new_i, t_cnt
+
+    _, _, _, new_d, new_i, t_cnt = jax.lax.fori_loop(
+        0, k, step, (cand_s, best_d_val, best_i_val, new_d, new_i, t_cnt)
+    )
+    return new_d, new_i, t_cnt
+
+
 def _make_kernel(
     metric: VecSimMetric,
     k: int,
     tile_n: int,
     n_tiles: int,
     with_sqnorm: bool,
-    mode: str,  # "bf16_3x" (fp32) | "native" (bf16/fp16) | "int" (int8)
+    mode: str,  # "bf16_3x" (fp32) | "native" (bf16/fp16) | "int" | "uint"
+    group_n: int,
+    with_lex: bool,  # multipass (k>128) lower-bound chain active
 ):
     metric = VecSimMetric(metric)
+    G = min(group_n, tile_n)
+    L = tile_n // G  # rows per strided group
 
     def kernel(count_ref, q_ref, qsq_ref, lo_d_ref, lo_i_ref, *rest):
         if with_sqnorm:
@@ -138,64 +227,73 @@ def _make_kernel(
         gids = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
         # Mask dead rows and (for multi-pass k>128) everything lex <= the
         # previous pass's last (distance, id).
-        lo_d = lo_d_ref[:]  # [B, 1]
-        lo_i = lo_i_ref[:]
-        keep = (gids < count_ref[0]) & ((s > lo_d) | ((s == lo_d) & (gids > lo_i)))
+        keep = gids < count_ref[0]
+        if with_lex:
+            lo_d = lo_d_ref[:]  # [B, 1]
+            lo_i = lo_i_ref[:]
+            keep &= (s > lo_d) | ((s == lo_d) & (gids > lo_i))
         s = jnp.where(keep, s, jnp.inf)
+
+        # Strided group-min view: group g holds columns {g, G+g, 2G+g, ...}
+        # (static slices — no lane reshapes). A few fixed VPU passes reduce
+        # the selection working set from [B, tile_n] to [B, G].
+        gmin = s[:, :G]
+        for l in range(1, L):
+            gmin = jnp.minimum(gmin, s[:, l * G : (l + 1) * G])
 
         # Threshold skip: does any candidate beat the current k-th best?
         kth = best_d[:, k - 1].reshape(B, 1)
-        improves = jnp.any(s < kth)
+        improves = jnp.any(gmin < kth)
 
         @pl.when(improves)
         def _merge():
-            # O(k) selection: extract the lexicographic (distance, id)
-            # minimum of (best ∪ tile) k times. Each pass is a few VPU
-            # row-reductions. (A two-level group-min variant that touches
-            # the tile only on "tile pops" was tried and measured SLOWER on
-            # v5e — Mosaic executes both lax.cond branches, so the
-            # conditional full-tile recompute runs every pop.)
-            #
-            # The EXPLICIT id tie-break matters: the multipass k>128 chain
-            # excludes by (lo_d, lo_i), so equal distances crossing a pass
-            # boundary must be ordered by id or an id can repeat/vanish
-            # across passes (observed on-device with bf16_3x ties at 1M).
-            cur_s = s
+            # Group-min ids: slices scan lowest-id-first, so `<` keeps the
+            # lower id on exact ties (lexicographic within each group).
+            gid = gids[:, :G]
+            acc = s[:, :G]
+            for l in range(1, L):
+                sl = s[:, l * G : (l + 1) * G]
+                upd = sl < acc
+                gid = jnp.where(upd, gids[:, l * G : (l + 1) * G], gid)
+                acc = jnp.minimum(acc, sl)
+
             cur_best_d = best_d[:]
             cur_best_i = best_i[:]
-            new_d = jnp.zeros((B, k), dtype=jnp.float32)
-            new_i = jnp.zeros((B, k), dtype=jnp.int32)
-            BIG = jnp.int32(2**31 - 1)
-
-            def step(t, carry):
-                cur_s, cur_best_d, cur_best_i, new_d, new_i = carry
-                bmin = jnp.min(cur_best_d, axis=1)
-                smin = jnp.min(cur_s, axis=1)
-                # Lowest id among the row minima of each side.
-                bid = jnp.min(
-                    jnp.where(cur_best_d == bmin[:, None], cur_best_i, BIG), axis=1
-                )
-                sid = jnp.min(jnp.where(cur_s == smin[:, None], gids, BIG), axis=1)
-                take_b = (bmin < smin) | ((bmin == smin) & (bid <= sid))
-                val = jnp.where(take_b, bmin, smin)
-                idx = jnp.where(take_b, bid, sid)
-                # One-hot write (scatter is not lowerable in Mosaic).
-                colk = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
-                write = colk == t
-                new_d = jnp.where(write, val[:, None], new_d)
-                new_i = jnp.where(write, idx[:, None], new_i)
-                # Knock out the consumed entry (unique by (value, id)).
-                maskb = (cur_best_d == bmin[:, None]) & (cur_best_i == bid[:, None])
-                masks = (cur_s == smin[:, None]) & (gids == sid[:, None])
-                cur_best_d = jnp.where(take_b[:, None] & maskb, jnp.inf, cur_best_d)
-                cur_s = jnp.where((~take_b)[:, None] & masks, jnp.inf, cur_s)
-                return cur_s, cur_best_d, cur_best_i, new_d, new_i
-
-            _, _, _, new_d, new_i = jax.lax.fori_loop(
-                0, k, step, (cur_s, cur_best_d, cur_best_i, new_d, new_i)
+            # Fast merge over the compact group view: exact unless a group
+            # hides a SECOND entry that belongs in the new top-k.
+            new_d, new_i, t_cnt = _pop_merge(
+                k, B, gids, gmin, gid, cur_best_d, cur_best_i, True
             )
-            best_d[:] = new_d
-            best_i[:] = new_i
+            if L == 1:
+                # Each group is one column — the fast merge IS exact.
+                best_d[:] = new_d
+                best_i[:] = new_i
+            else:
+                # Exact verification census: the number of tile entries
+                # lexicographically <= the new k-th best must equal the
+                # number of pops taken from the tile; a hidden group member
+                # inflates the census. (Underfilled-best corner: pops can
+                # emit (inf, real-id) from fully-masked groups — the census
+                # then overcounts and the repair path runs, which is exact
+                # by construction.)
+                bd_k = new_d[:, k - 1].reshape(B, 1)
+                bi_k = new_i[:, k - 1].reshape(B, 1)
+                census = (s < bd_k) | ((s == bd_k) & (gids <= bi_k))
+                n_census = jnp.sum(census.astype(jnp.int32), axis=1)
+                ok = jnp.all(n_census == t_cnt)
+
+                @pl.when(ok)
+                def _commit():
+                    best_d[:] = new_d
+                    best_i[:] = new_i
+
+                @pl.when(jnp.logical_not(ok))
+                def _repair():
+                    rd, ri, _ = _pop_merge(
+                        k, B, gids, s, gids, cur_best_d, cur_best_i, False
+                    )
+                    best_d[:] = rd
+                    best_i[:] = ri
 
         @pl.when(j == n_tiles - 1)
         def _flush():
@@ -210,12 +308,31 @@ def _mode_and_aux(queries, data, sqnorms, metric, query_norms):
 
     int8 stores get the "int" lane (``sqnorms`` then carries the STORED
     fp32 norms for Cosine and is unused for L2/IP — L2 row sqnorms are
-    computed in-kernel); float stores keep the bf16_3x/native split.
-    uint8 is not supported here (``config._pallas_common`` gates it to the
-    XLA path — the shift+correction algebra isn't worth a second lane).
+    computed in-kernel); uint8 stores get the "uint" lane (queries shifted
+    into s8 range host-side, rows shifted in-kernel, exact int32
+    correction — see ``_tile_scores``); float stores keep the
+    bf16_3x/native split.
     """
     B = queries.shape[0]
     metric = VecSimMetric(metric)
+    if data.dtype == jnp.uint8:
+        qs8 = (queries.astype(jnp.int16) - 128).astype(jnp.int8)
+        qs32 = queries.astype(jnp.int32) - 128
+        if metric == VecSimMetric.L2:
+            # Σ(q-128)² can exceed f32's exact-int range past dim 1024 —
+            # carried as int32 (the kernel's cast is then a no-op).
+            qaux = jnp.sum(qs32 * qs32, axis=1, keepdims=True)
+            return "uint", qs8, qaux, False, None, 1
+        qsum = jnp.sum(qs32, axis=1, keepdims=True).astype(jnp.float32)
+        if metric == VecSimMetric.Cosine:
+            assert query_norms is not None and sqnorms is not None, (
+                "uint8 cosine needs stored and query norms"
+            )
+            qaux = jnp.concatenate(
+                [qsum, query_norms.reshape(B, 1).astype(jnp.float32)], axis=1
+            )
+            return "uint", qs8, qaux, True, sqnorms.astype(jnp.float32), 1
+        return "uint", qs8, qsum, False, None, 1
     if data.dtype == jnp.int8:
         qk = queries.astype(jnp.int8)
         if metric == VecSimMetric.L2:
@@ -245,7 +362,7 @@ def _mode_and_aux(queries, data, sqnorms, metric, query_norms):
 
 def _one_pass(
     queries, data, sqnorms, count, k, *, metric, tile_n, lo_d, lo_i, interpret,
-    query_norms=None,
+    query_norms=None, group_n=512, with_lex=False,
 ):
     B, D = queries.shape
     N = data.shape[0]
@@ -254,13 +371,15 @@ def _one_pass(
     mode, qk, qsq, with_sqnorm, sqn, itemsize = _mode_and_aux(
         queries, data, sqnorms, metric, query_norms
     )
-    kernel = _make_kernel(metric, k, tile_n, n_tiles, with_sqnorm, mode)
+    kernel = _make_kernel(
+        metric, k, tile_n, n_tiles, with_sqnorm, mode, group_n, with_lex
+    )
 
     rep = lambda j: (0, 0)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # count
         pl.BlockSpec((B, D), rep, memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # qsq
+        pl.BlockSpec((B, qsq.shape[1]), rep, memory_space=pltpu.VMEM),  # qaux
         pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # lower bound d
         pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # lower bound i
         pl.BlockSpec((tile_n, D), lambda j: (j, 0), memory_space=pltpu.VMEM),  # data
@@ -304,9 +423,11 @@ def _one_pass(
     return out_d, out_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "tile_n", "interpret", "group_n")
+)
 def pallas_topk(
-    queries: jax.Array,  # [B, D] f32/bf16/fp16/int8
+    queries: jax.Array,  # [B, D] f32/bf16/fp16/int8/uint8
     data: jax.Array,  # [N, D] store dtype, N % tile_n == 0
     sqnorms: jax.Array | None,  # [N] f32: sqnorms (float L2) / norms (int cos)
     count: jax.Array,  # live rows
@@ -315,7 +436,8 @@ def pallas_topk(
     metric: VecSimMetric,
     tile_n: int = 4096,
     interpret: bool = False,
-    query_norms: jax.Array | None = None,  # [B] f32, int8 cosine only
+    query_norms: jax.Array | None = None,  # [B] f32, int/uint cosine only
+    group_n: int = 512,
 ):
     """Exact top-k (smallest distances) with fused scan. Returns
     (dists [B, k], ids [B, k]) sorted ascending; k > 128 runs ⌈k/128⌉
@@ -334,6 +456,7 @@ def pallas_topk(
             queries, data, sqnorms, count, pass_k,
             metric=metric, tile_n=tile_n, lo_d=lo_d, lo_i=lo_i,
             interpret=interpret, query_norms=query_norms,
+            group_n=group_n, with_lex=n_passes > 1,
         )
         parts_d.append(pd)
         parts_i.append(pi)
@@ -444,7 +567,7 @@ def pallas_topk_bigk(
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # count
         pl.BlockSpec((B, D), rep, memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((B, 1), rep, memory_space=pltpu.VMEM),  # qsq
+        pl.BlockSpec((B, qsq.shape[1]), rep, memory_space=pltpu.VMEM),  # qaux
         pl.BlockSpec((tile_n, D), lambda j: (j, 0), memory_space=pltpu.VMEM),  # data
     ]
     args = [jnp.asarray([count], dtype=jnp.int32), qk, qsq, data]
