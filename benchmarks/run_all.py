@@ -46,6 +46,9 @@ def main():
                          "measure memory + TopK before/after")
     ap.add_argument("--updated-n", type=int, default=500_000)
     ap.add_argument("--build-batch", type=int, default=2048)
+    ap.add_argument("--hn-n", type=int, default=300_000,
+                    help="HNSW sweep scale (build cost scales with n)")
+    ap.add_argument("--scan-batches", type=int, default=4)
     ap.add_argument("--data", choices=["embedding", "random"], default="embedding",
                     help="'embedding' models real corpora (intrinsic dim ~48); "
                          "'random' is the uniform pathological case")
@@ -151,18 +154,16 @@ def _run_hnsw(args, vs, jax, data, queries, add_vecs, emit):
 
     n, dim, B = args.n, args.dim, args.queries
     # ---------------- HNSW (reference M=16 efC=200 config) ----------------
-    hn_n = min(n, 300_000)  # build cost scales with n; cap for wall-clock
+    hn_n = min(n, getattr(args, "hn_n", 300_000))  # build cost scales with n
     hn = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.HNSWLIB, hnswParams=vs.HNSWParams(
         type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine,
         M=16, efConstruction=200, initialCapacity=hn_n)))
-    host_data = np.asarray(data[:hn_n])
     t0 = time.perf_counter()
-    batch = args.build_batch
-    for s in range(0, hn_n, batch):
-        hn.add_vector_batch(host_data[s : s + batch], list(range(s, min(s + batch, hn_n))))
-        if (s // batch) % 8 == 0:
-            print(f"# hnsw build {s + batch}/{hn_n} "
-                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr, flush=True)
+    # Device-resident construction (the production bulk-ingest path):
+    # data is already on device; host-feeding it back through the relay
+    # would measure the ~10 MB/s link, not the build engine.
+    hn.bulk_build_device(data, n=hn_n, batch=1024,
+                         scan_batches=getattr(args, "scan_batches", 4))
     build_s = time.perf_counter() - t0
     emit(event="hnsw_build", n=hn_n, M=16, efC=200, seconds=round(build_s, 1),
          vectors_per_sec=round(hn_n / build_s, 1))
@@ -201,6 +202,20 @@ def _run_hnsw(args, vs, jax, data, queries, add_vecs, emit):
         dt = time.perf_counter() - t0
         emit(event="hnsw_range", radius=0.35, epsilon=eps, ms=round(dt * 1e3, 2),
              results=len(rep))
+
+    # HNSW batch iterator grid (reference docs/benchmarks.md: batches
+    # {10,100,1000} x {1,3,5}; the resumable device frontier serves these)
+    for bs in (10, 100, 1000):
+        it = hn.new_batch_iterator(gtq[0])
+        it.get_next_results(bs)  # warm/compile the resumable path
+        it = hn.new_batch_iterator(gtq[0])
+        t0 = time.perf_counter()
+        got = 0
+        for _ in range(3):
+            got += len(it.get_next_results(bs))
+        dt = time.perf_counter() - t0
+        emit(event="hnsw_batch_iter", batch=bs, n_batches=3,
+             ms=round(dt * 1e3, 2), results=got)
 
     # Add/Delete label on HNSW (1024 ops, reference config)
     t0 = time.perf_counter()
@@ -260,10 +275,18 @@ def _run_updated_index(args, emit):
              ms=round((time.perf_counter() - t0) / B * 1e3, 3))
 
     # ---- HNSW ----
+    from vectorsimilarity_tpu.core.store import _bucket_capacity
+
     def gt_for(data_dev):
         g = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
             type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine)))
-        g.add_vector_batch(np.asarray(data_dev), list(range(n)))
+        cap = _bucket_capacity(n, g.store.block_size)
+        nrm = jnp.linalg.norm(data_dev, axis=1, keepdims=True)
+        nd = data_dev / jnp.where(nrm == 0, 1.0, nrm)
+        pad = jnp.zeros((cap, dim), jnp.float32).at[:n].set(nd)
+        g.store.adopt_device({"data": pad}, count=n)
+        g.labels.label_to_id = {i: i for i in range(n)}
+        g.store.host["label"][:n] = np.arange(n, dtype=np.int64)
         return [set(r.ids[:100].tolist()) for r in g.topk_query_batch(queries, 100)]
 
     hn = HNSWIndex(HNSWParams(
@@ -271,8 +294,10 @@ def _run_updated_index(args, emit):
         M=16, efConstruction=200, initialCapacity=n))
     batch = args.build_batch
     t0 = time.perf_counter()
-    for s in range(0, n, batch):
-        hn.add_vector_batch(host1[s:s + batch], list(range(s, min(s + batch, n))))
+    # Initial build device-resident (d1 lives on device already); the
+    # OVERWRITE below is the measured operation and stays on the
+    # incremental host API, matching BM_VecSimUpdatedIndex's protocol.
+    hn.bulk_build_device(d1, n=n, batch=1024, scan_batches=4)
     emit(event="updated_hnsw_build", phase="before",
          seconds=round(time.perf_counter() - t0, 1))
 

@@ -166,23 +166,40 @@ def _on_tpu() -> bool:
         return False
 
 
-def pallas_enabled(kind: str, k: int, capacity: int, dtype=None) -> bool:
+# Minimum query-batch rows for the fused kernels on real hardware. The
+# group-compact kernel SIGABRTs the TPU compiler (jellyfish
+# "limits[i] <= dim(i) (16 vs 1)" in LoweringEmitter::PrepareOutput) when
+# lowered at B=128; B=1024 — the serving/headline shape every TPU number
+# was measured at — compiles and runs. Until the small-B lowering is
+# root-caused, sub-1024 batches ride the XLA streaming engine (exact, and
+# those shapes are dispatch-latency-bound anyway). "always" overrides (the
+# interpret-mode tests run every B).
+pallas_min_batch: int = 1024
+
+
+def pallas_enabled(kind: str, k: int, capacity: int, dtype=None,
+                   batch=None) -> bool:
     if not _pallas_common(kind, capacity, dtype):
         return False
     if use_pallas == "always":
         return True
     if k > pallas_max_k:
         return False
+    if batch is not None and batch < pallas_min_batch:
+        return False
     return _on_tpu()
 
 
-def pallas_bigk_enabled(kind: str, k: int, capacity: int, dtype=None) -> bool:
+def pallas_bigk_enabled(kind: str, k: int, capacity: int, dtype=None,
+                        batch=None) -> bool:
     """Gate for the per-tile local-top-c kernel (k in (max_k, bigk_max])."""
     if not _pallas_common(kind, capacity, dtype):
         return False
     if use_pallas == "always":
         return False  # "always" pins the single-buffer/multipass kernel
     if not (pallas_max_k < k <= pallas_bigk_max):
+        return False
+    if batch is not None and batch < pallas_min_batch:
         return False
     # Enough tiles of survivors to cover k without raising c per-call.
     n_tiles = max(capacity // pallas_tile_n, 1)

@@ -84,6 +84,7 @@ class BlockStore:
         self.count = 0
         self.capacity = 0
         self.sharding = None  # NamedSharding: rows spread over a mesh axis
+        self.placement = None  # single device the whole store is pinned to
         self.host: dict[str, np.ndarray] = {}
         self._device: dict[str, jax.Array] = {}
         # Per-field dirty rows: a link update must not re-upload the (much
@@ -201,9 +202,7 @@ class BlockStore:
             # multiples of the block size, so any pow2 mesh divides evenly).
             for name, spec in self.fields.items():
                 arr = jnp.asarray(as_dev_dtype(self.host[name], spec))
-                if self.sharding is not None:
-                    arr = jax.device_put(arr, self._row_sharding(arr.ndim))
-                self._device[name] = arr
+                self._device[name] = self._place(arr)
             self._device_capacity = self.capacity
             for dset in self._dirty_rows.values():
                 dset.clear()
@@ -271,6 +270,26 @@ class BlockStore:
             self._mesh, PartitionSpec(self._axis, *([None] * (ndim - 1)))
         )
 
+    def set_device(self, device) -> None:
+        """Pin the whole device copy to one device (per-shard subgraph
+        stores of the data-sharded classes: each shard's arrays — and
+        therefore its build/search dispatches, which follow committed
+        operands — live on its own mesh device instead of piling onto the
+        default device). Mutually exclusive with ``set_sharding``."""
+        assert self.sharding is None, "store is row-sharded"
+        self.placement = device
+        if self._device:
+            self._device = {
+                n: jax.device_put(a, device) for n, a in self._device.items()
+            }
+
+    def _place(self, arr: jax.Array) -> jax.Array:
+        if self.sharding is not None:
+            return jax.device_put(arr, self._row_sharding(arr.ndim))
+        if self.placement is not None:
+            return jax.device_put(arr, self.placement)
+        return arr
+
     def adopt_device(self, arrays: dict[str, jax.Array], count: int) -> None:
         """Bulk-load device-resident data as the compute copy.
 
@@ -288,15 +307,10 @@ class BlockStore:
         self.count = count
         for name, spec in self.fields.items():
             if name in arrays:
-                arr = arrays[name]
-                if self.sharding is not None:
-                    arr = jax.device_put(arr, self._row_sharding(arr.ndim))
-                self._device[name] = arr
+                self._device[name] = self._place(arrays[name])
             else:
                 z = jnp.zeros((cap, *spec.shape), dtype=spec.device_dtype)
-                if self.sharding is not None:
-                    z = jax.device_put(z, self._row_sharding(z.ndim))
-                self._device[name] = z
+                self._device[name] = self._place(z)
         self._device_capacity = cap
         for dset in self._dirty_rows.values():
             dset.clear()

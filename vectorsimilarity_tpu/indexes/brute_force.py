@@ -208,7 +208,8 @@ class BruteForceIndex(DeviceVectorIndex):
                     query_norms=qn,
                 )
             if config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
-                                     self.store.fields["data"].device_dtype):
+                                     self.store.fields["data"].device_dtype,
+                                     batch=qd.shape[0]):
                 from ..ops.pallas.bf_topk import pallas_topk
 
                 data, sqn = self.store_tuple(dev)
@@ -223,7 +224,8 @@ class BruteForceIndex(DeviceVectorIndex):
                     group_n=config.pallas_group_n,
                 )
             if config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
-                                          self.store.fields["data"].device_dtype):
+                                          self.store.fields["data"].device_dtype,
+                                          batch=qd.shape[0]):
                 from ..ops.pallas.bf_topk import pallas_topk_bigk
 
                 data, sqn = self.store_tuple(dev)
@@ -275,7 +277,8 @@ class BruteForceIndex(DeviceVectorIndex):
                 jnp.asarray(q), qnorms, dev, count, kpad, budget
             )
         elif config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
-                                   self.store.fields["data"].device_dtype):
+                                   self.store.fields["data"].device_dtype,
+                                   batch=len(q)):
             from ..ops.pallas.bf_topk import pallas_topk
 
             data, sqn = self.store_tuple(dev)
@@ -287,7 +290,8 @@ class BruteForceIndex(DeviceVectorIndex):
                 group_n=config.pallas_group_n,
             )
         elif config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
-                                        self.store.fields["data"].device_dtype):
+                                        self.store.fields["data"].device_dtype,
+                                        batch=len(q)):
             from ..ops.pallas.bf_topk import pallas_topk_bigk
 
             data, sqn = self.store_tuple(dev)

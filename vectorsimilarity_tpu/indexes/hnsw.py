@@ -1354,8 +1354,17 @@ class HNSWIndex(DeviceVectorIndex):
         if self.store.count == 0 or self.entry_id < 0 or k <= 0:
             return [make_reply([], []) for _ in range(nq)]
         ef = self._effective_ef(k, params)
-        # Tombstone allowance: flagged nodes are filtered post-search.
-        ef += min(self.num_marked_deleted, ef)
+        # Window allowance for post-search filters: tombstoned nodes and
+        # (multi) duplicate values of one label both consume beam slots
+        # without contributing distinct results. The reference's multi
+        # search needs none of this — its updatable max-heap is keyed by
+        # label (hnsw_multi.h:105, updatable_heap.h:24-120); here the beam
+        # ranks NODES, so the window grows by the filterable surplus, and
+        # a doubling retry below guarantees k distinct live labels.
+        extra = self.num_marked_deleted
+        if self.multi:
+            extra += max(0, self.store.count - len(self.labels.label_to_ids))
+        ef += min(extra, ef)
         completed = True
         if budget.ctx is not None:
             dists, ids, completed = self._search_knn_segmented(
@@ -1366,23 +1375,61 @@ class HNSWIndex(DeviceVectorIndex):
         out = []
         flags = self.store.host["flags"]
         id_to_label = self.store.host["label"]
-        for b in range(nq):
-            row_i, row_d = ids[b], dists[b]
+        qs2 = np.atleast_2d(queries)
+        live_label_total = (
+            len(self.labels.label_to_ids) if self.multi else 0
+        )
+
+        def filter_live(row_i, row_d):
             valid = row_i >= 0
             row_i, row_d = row_i[valid], row_d[valid]
             live = (flags[row_i] & FLAG_DELETED) == 0
-            row_i, row_d = row_i[live], row_d[live]
+            return row_i[live], row_d[live]
+
+        def dedup(labels, row_d):
+            seen: set[int] = set()
+            keep = []
+            for j, lab in enumerate(labels):
+                if int(lab) not in seen:
+                    seen.add(int(lab))
+                    keep.append(j)
+                    if len(keep) >= k:
+                        break
+            return labels[keep], row_d[keep]
+
+        for b in range(nq):
+            row_i, row_d = filter_live(ids[b], dists[b])
             labels = id_to_label[row_i]
             if self.multi:
-                seen: dict[int, int] = {}
-                keep = []
-                for j, lab in enumerate(labels):
-                    if int(lab) not in seen:
-                        seen[int(lab)] = j
-                        keep.append(j)
-                keep = keep[:k]
-                out.append(make_reply(labels[keep], row_d[keep]))
+                lab_k, d_k = dedup(labels, row_d)
+                # Distinct-label guarantee: if duplicates/tombstones crowded
+                # the window, re-search THIS query with a doubled window
+                # until k distinct live labels (or the whole store) are in.
+                target = min(k, live_label_total)
+                w = ef
+                while (
+                    len(lab_k) < target
+                    and w < self.store.count
+                    and not budget.expired()
+                ):
+                    w = min(w * 2, self.store.count)
+                    rd2, ri2 = self.search_knn(qs2[b : b + 1], k, w)
+                    ri, rd = filter_live(ri2[0], rd2[0])
+                    lab_k, d_k = dedup(id_to_label[ri], rd)
+                out.append(make_reply(lab_k, d_k))
             else:
+                tgt = min(k, len(self.labels.label_to_id))
+                if len(labels) < tgt and not budget.expired():
+                    # Tombstone-crowded window (weak case the 2x-ef cap
+                    # misses); same doubling retry.
+                    w = ef
+                    while len(labels) < tgt and w < self.store.count:
+                        w = min(w * 2, self.store.count)
+                        rd2, ri2 = self.search_knn(qs2[b : b + 1], k, w)
+                        row_i, row_d = filter_live(ri2[0], rd2[0])
+                        labels = id_to_label[row_i]
+                        if budget.expired():
+                            break
                 out.append(make_reply(labels[:k], row_d[:k]))
         # ``completed`` False means the callback cut the beam mid-search;
         # the iteration-cap case without an expired callback keeps OK (same

@@ -1025,30 +1025,74 @@ class SVSIndex(DeviceVectorIndex):
         if self.store.count == 0 or self.entry_id < 0 or k <= 0:
             return [make_reply([], []) for _ in range(nq)]
         ws = self._effective_ws(k, params)
-        ws += min(self.num_marked_deleted, ws)
-        dists, ids = self.search_knn(np.atleast_2d(queries), k, ws)
+        # Window allowance + distinct-label retry: see HNSWIndex
+        # .topk_query_batch (matches hnsw_multi.h:105's label-keyed heap
+        # guarantee without one).
+        extra = self.num_marked_deleted
+        if self.multi:
+            extra += max(0, self.store.count - len(self.labels.label_to_ids))
+        ws += min(extra, ws)
+        qs2 = np.atleast_2d(queries)
+        dists, ids = self.search_knn(qs2, k, ws)
         if self.res_bits:
-            dists, ids = self._refine(np.atleast_2d(queries), dists, ids)
+            dists, ids = self._refine(qs2, dists, ids)
         out = []
         flags = self.store.host["flags"]
         id_to_label = self.store.host["label"]
-        for b in range(nq):
-            row_i, row_d = ids[b], dists[b]
+        live_label_total = (
+            len(self.labels.label_to_ids) if self.multi else 0
+        )
+
+        def filter_live(row_i, row_d):
             valid = row_i >= 0
             row_i, row_d = row_i[valid], row_d[valid]
             live = (flags[row_i] & FLAG_DELETED) == 0
-            row_i, row_d = row_i[live], row_d[live]
+            return row_i[live], row_d[live]
+
+        def dedup(labels, row_d):
+            seen: set[int] = set()
+            keep = []
+            for j, lab in enumerate(labels):
+                if int(lab) not in seen:
+                    seen.add(int(lab))
+                    keep.append(j)
+                    if len(keep) >= k:
+                        break
+            return labels[keep], row_d[keep]
+
+        def research(b, w):
+            rd2, ri2 = self.search_knn(qs2[b : b + 1], k, w)
+            if self.res_bits:
+                rd2, ri2 = self._refine(qs2[b : b + 1], rd2, ri2)
+            return filter_live(ri2[0], rd2[0])
+
+        for b in range(nq):
+            row_i, row_d = filter_live(ids[b], dists[b])
             labels = id_to_label[row_i]
             if self.multi:
-                seen: set[int] = set()
-                keep = []
-                for j, lab in enumerate(labels):
-                    if int(lab) not in seen:
-                        seen.add(int(lab))
-                        keep.append(j)
-                keep = keep[:k]
-                out.append(make_reply(labels[keep], row_d[keep]))
+                lab_k, d_k = dedup(labels, row_d)
+                target = min(k, live_label_total)
+                w = ws
+                while (
+                    len(lab_k) < target
+                    and w < self.store.count
+                    and not budget.expired()
+                ):
+                    w = min(w * 2, self.store.count)
+                    ri, rd = research(b, w)
+                    lab_k, d_k = dedup(id_to_label[ri], rd)
+                out.append(make_reply(lab_k, d_k))
             else:
+                tgt = min(k, len(self.labels.label_to_id))
+                w = ws
+                while (
+                    len(labels) < tgt
+                    and w < self.store.count
+                    and not budget.expired()
+                ):
+                    w = min(w * 2, self.store.count)
+                    row_i, row_d = research(b, w)
+                    labels = id_to_label[row_i]
                 out.append(make_reply(labels[:k], row_d[:k]))
         if budget.expired():
             for r in out:

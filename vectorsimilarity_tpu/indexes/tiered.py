@@ -376,7 +376,30 @@ class TieredHNSWIndex(VecSimIndexBase):
             return merged.sort(order)
 
     def topk_query_batch(self, queries, k, params=None):
-        return [self.topk_query(q, k, params) for q in np.atleast_2d(queries)]
+        """Batched tiered read: ONE batched dispatch per tier under the
+        global lock (each tier's own batch path sub-batch-pipelines
+        internally), label-dedup merge per query outside it. The previous
+        per-query loop held ``_glock`` across 2*B device dispatches — an
+        async-ingest stall magnet at serving batch sizes."""
+        queries = np.atleast_2d(queries)
+        with self._glock:
+            flats = (
+                None
+                if self.frontend.index_size == 0
+                else self.frontend.topk_query_batch(queries, k, params)
+            )
+            mains = self.backend.topk_query_batch(queries, k, params)
+        if flats is None:
+            return mains
+        out = []
+        for main, flat in zip(mains, flats):
+            if flat.code != VecSimQueryReplyCode.OK:
+                out.append(flat)
+            elif main.code != VecSimQueryReplyCode.OK:
+                out.append(main)
+            else:
+                out.append(merge_replies(main, flat, k, with_set=True))
+        return out
 
     def get_distance_from(self, label: int, blob: np.ndarray) -> float:
         d1 = self.frontend.get_distance_from(label, blob)

@@ -104,10 +104,14 @@ def _search_one_shard(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "lmax", "cap", "metric", "kind", "expand")
+    jax.jit,
+    static_argnames=(
+        "k", "ef", "lmax", "cap", "metric", "kind", "expand", "k_merge"
+    ),
 )
 def sharded_graph_topk(
-    q, qn, stacked, entry, count, *, k, ef, lmax, cap, metric, kind, expand
+    q, qn, stacked, entry, count, *, k, ef, lmax, cap, metric, kind, expand,
+    k_merge=None,
 ):
     """All-shard search + global merge.
 
@@ -132,7 +136,11 @@ def sharded_graph_topk(
     B = q.shape[0]
     all_d = jnp.transpose(bd, (1, 0, 2)).reshape(B, -1)  # [B, S*k]
     all_i = jnp.transpose(bi, (1, 0, 2)).reshape(B, -1)
-    neg, sel = jax.lax.top_k(-all_d, k)
+    # ``k_merge`` widens the GLOBAL merge beyond k (up to S*k): the host
+    # filters tombstones/duplicate labels after this truncation, so a
+    # crowded shard needs the extra width to keep k live labels in play.
+    km = k if k_merge is None else min(int(k_merge), all_d.shape[1])
+    neg, sel = jax.lax.top_k(-all_d, km)
     ids = jnp.take_along_axis(all_i, sel, axis=1)
     shard_of = (sel // k).astype(jnp.int32)
     shard_of = jnp.where(ids >= 0, shard_of, -1)
@@ -149,6 +157,13 @@ class _ShardedGraphBase:
         self.n_shards = int(mesh.shape[AXIS])
         self.params = params
         self.shards = [self._new_shard(i, seed) for i in range(self.n_shards)]
+        # Pin each shard's stores to its mesh device: build/search
+        # dispatches follow committed operands, so each subgraph's memory
+        # AND compute live on its own chip (the memory-scale-out claim;
+        # without this every shard store lands on the default device).
+        self._devs = list(self.mesh.devices.flat)
+        for i, s in enumerate(self.shards):
+            self._pin_shard(s, self._devs[i % len(self._devs)])
         self._label_shard: dict[int, int] = {}
         self._rr = 0
         self._placed = None  # (stacked, entry, count, lmax, cap, max_count)
@@ -161,6 +176,11 @@ class _ShardedGraphBase:
 
     def _new_shard(self, i: int, seed: int):
         raise NotImplementedError
+
+    def _pin_shard(self, shard, device) -> None:
+        shard.store.set_device(device)
+        if hasattr(shard, "upper"):
+            shard.upper.set_device(device)
 
     def _shard_arrays(self, shard, cap, ucap, lmax, pad_rows) -> dict:
         raise NotImplementedError
@@ -280,16 +300,24 @@ class _ShardedGraphBase:
         per = [
             self._shard_arrays(s, cap, ucap, lmax, pad_rows) for s in self.shards
         ]
-        stacked = {
-            name: jnp.stack([p[name] for p in per]) for name in per[0]
-        }
-        # Place: leading shard axis over the mesh, everything else local.
-        stacked = {
-            name: jax.device_put(
-                a, NamedSharding(self.mesh, P(AXIS, *([None] * (a.ndim - 1))))
+        # Assemble the placed stack SHARD-LOCALLY: each padded per-shard
+        # array (already living on its own device via the pinned stores)
+        # becomes that device's slice of the global array directly.
+        # jnp.stack-then-device_put would materialize the whole padded
+        # dataset on the default device first — a ~2x single-chip peak that
+        # defeats the memory scale-out.
+        stacked = {}
+        for name in per[0]:
+            pieces = [
+                jax.device_put(p[name][None], self._devs[i % len(self._devs)])
+                for i, p in enumerate(per)
+            ]
+            sh = NamedSharding(
+                self.mesh, P(AXIS, *([None] * (pieces[0].ndim - 1)))
             )
-            for name, a in stacked.items()
-        }
+            stacked[name] = jax.make_array_from_single_device_arrays(
+                (len(per), *pieces[0].shape[1:]), sh, pieces
+            )
         sspec = NamedSharding(self.mesh, P(AXIS))
         entry = jax.device_put(
             jnp.asarray([s.entry_id for s in self.shards], dtype=jnp.int32), sspec
@@ -323,23 +351,45 @@ class _ShardedGraphBase:
     def _query_locked(self, q, qnorms, k, ef, nq):
         s0 = self.shards[0]
         stacked, entry, count, lmax, cap, max_count = self._ensure_placed()
-        ef_pad = min(pow2_bucket(max(ef, k)), max(pow2_bucket(max_count), 1))
-        qd = jnp.asarray(q)
-        qn = None if qnorms is None else jnp.asarray(qnorms)
-        bd, bi, bs = sharded_graph_topk(
-            qd, qn, stacked, entry, count,
-            k=k, ef=ef_pad, lmax=lmax, cap=cap,
-            metric=s0.metric, kind=s0.store_kind,
-            expand=config.resolve_search_expand(ef),
-        )
-        bd, bi, bs = np.asarray(bd), np.asarray(bi), np.asarray(bs)
+        # Per-shard return width: tombstoned rows and (multi) duplicate
+        # values survive the device merge and are filtered HERE, so the
+        # merge must carry an allowance or a crowded shard underfills k
+        # (the single indexes grow their beam window the same way).
+        tomb = sum(s.num_marked_deleted for s in self.shards)
+        dups = 0
+        if s0.multi:
+            dups = sum(
+                max(0, s.store.count - len(s.labels.label_to_ids))
+                for s in self.shards
+            )
         flags = [s.store.host["flags"] for s in self.shards]
         id_to_label = [s.store.host["label"] for s in self.shards]
-        out = []
-        for b in range(nq):
+        live_total = sum(
+            len(s.labels.label_to_ids if s0.multi else s.labels.label_to_id)
+            for s in self.shards
+        )
+        target = min(k, live_total)
+
+        w_cap = max(pow2_bucket(max_count), 1)
+        kq_cap = self.n_shards * w_cap  # every row of every shard
+
+        def dispatch(qd, qn, ef_eff, kq):
+            ef_pad = min(pow2_bucket(max(ef_eff, k)), w_cap)
+            ks = min(kq, ef_pad)  # per-shard return width
+            km = min(kq, self.n_shards * ks)  # global merge width
+            bd, bi, bs = sharded_graph_topk(
+                qd, qn, stacked, entry, count,
+                k=ks, ef=ef_pad, lmax=lmax, cap=cap,
+                metric=s0.metric, kind=s0.store_kind,
+                expand=config.resolve_search_expand(ef_eff),
+                k_merge=km,
+            )
+            return np.asarray(bd), np.asarray(bi), np.asarray(bs), ef_pad, km
+
+        def collect(bd, bi, bs, b, kq):
             rows = []
             seen: set[int] = set()
-            for j in range(k):
+            for j in range(kq):
                 s, i = int(bs[b, j]), int(bi[b, j])
                 if s < 0 or i < 0:
                     continue
@@ -350,6 +400,29 @@ class _ShardedGraphBase:
                     continue
                 seen.add(lab)
                 rows.append((lab, float(bd[b, j])))
+                if len(rows) >= k:
+                    break
+            return rows
+
+        qd = jnp.asarray(q)
+        qn = None if qnorms is None else jnp.asarray(qnorms)
+        kq0 = k + min(tomb + dups, 3 * k + 8)
+        bd, bi, bs, ef_pad, kq0 = dispatch(qd, qn, ef, kq0)
+        out = []
+        for b in range(nq):
+            rows = collect(bd, bi, bs, b, kq0)
+            # Deficiency retry: a tombstone-heavy or duplicate-crowded
+            # shard can still underfill; re-search this query with a
+            # doubled window AND merge width. At w == w_cap and
+            # kq == S*w_cap the merge is a full sort of every row of every
+            # shard, so termination implies completeness.
+            w, kq = ef_pad, kq0
+            while len(rows) < target and not (w >= w_cap and kq >= kq_cap):
+                w = min(w * 2, w_cap)
+                kq = min(kq * 2, kq_cap)
+                rb = (qd[b : b + 1], None if qn is None else qn[b : b + 1])
+                bd2, bi2, bs2, w, kq = dispatch(rb[0], rb[1], w, kq)
+                rows = collect(bd2, bi2, bs2, 0, kq)
             out.append(
                 make_reply([r[0] for r in rows], [r[1] for r in rows])
             )
