@@ -249,12 +249,19 @@ def _make_kernel(
         def _merge():
             # Group-min ids: slices scan lowest-id-first, so `<` keeps the
             # lower id on exact ties (lexicographic within each group).
-            gid = gids[:, :G]
+            # The ids are built ARITHMETICALLY (base + l*G), value-identical
+            # to slicing ``gids[:, l*G:(l+1)*G]`` — which Mosaic (libtpu
+            # 2026-08) miscompiles with a fatal layout check
+            # ("limits[i] <= dim(i) (128 vs. 1)"): lane-offset slices of an
+            # int32 broadcasted_iota are the trigger; float slices of ``s``
+            # are fine.
+            base = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, G), 1)
+            gid = base
             acc = s[:, :G]
             for l in range(1, L):
                 sl = s[:, l * G : (l + 1) * G]
                 upd = sl < acc
-                gid = jnp.where(upd, gids[:, l * G : (l + 1) * G], gid)
+                gid = jnp.where(upd, base + l * G, gid)
                 acc = jnp.minimum(acc, sl)
 
             cur_best_d = best_d[:]
