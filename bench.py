@@ -211,12 +211,17 @@ def main() -> None:
     needs_qn = kind == "int"
     out = idx.search_knn_device(staged[0][0], k, qn=staged[0][1] if needs_qn else None)
     _ = float(np.asarray(out[0])[0, 0])  # warm compile + force
-    t0 = time.perf_counter()
-    for qb, qn in staged:
-        out = idx.search_knn_device(qb, k, qn=qn if needs_qn else None)
-    _ = np.asarray(out[0])[:, :1]  # force the chain (relay defers laziness)
-    t1 = time.perf_counter()
-    qps = args.repeats * B / (t1 - t0)
+    # Median of 3 timed rounds: the axon relay adds ~25% run-to-run spread
+    # (docs/benchmarks.md methodology) — one round is not a number.
+    rounds = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for qb, qn in staged:
+            out = idx.search_knn_device(qb, k, qn=qn if needs_qn else None)
+        _ = np.asarray(out[0])[:, :1]  # force the chain (relay defers laziness)
+        t1 = time.perf_counter()
+        rounds.append(args.repeats * B / (t1 - t0))
+    qps = sorted(rounds)[1]
 
     # Host-API path: queries fed from host numpy through the full public
     # topk_query_batch (preprocess + upload + search + label mapping). On
@@ -242,7 +247,10 @@ def main() -> None:
                 "vs_baseline": round(qps / cpu_qps, 2),
                 "host_api_qps": round(host_qps, 2),
                 "engine": (
-                    "pallas" if vs_config.pallas_enabled(
+                    "pallas-gm" if vs_config.pallas_gm_enabled(
+                        kind, k, idx.store.capacity,
+                        idx.store.fields["data"].device_dtype, batch=B)
+                    else "pallas" if vs_config.pallas_enabled(
                         kind, k, idx.store.capacity,
                         idx.store.fields["data"].device_dtype)
                     else "pallas-bigk" if vs_config.pallas_bigk_enabled(

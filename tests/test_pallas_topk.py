@@ -416,3 +416,124 @@ def test_uint8_count_masking_and_groups():
     assert int(np.asarray(pi).max()) < count
     rd, ri = _ref_topk_int(q, data, count, k, VecSimMetric.L2)
     np.testing.assert_array_equal(np.asarray(pi), ri)
+
+
+# ---------------------------------------------------------------------------
+# Group-min engine (pallas_topk_gm): per-tile group minima + suspect rescue
+# ---------------------------------------------------------------------------
+
+from vectorsimilarity_tpu.ops.pallas.bf_topk import pallas_topk_gm
+
+
+@pytest.mark.parametrize("metric", [VecSimMetric.Cosine, VecSimMetric.L2])
+def test_gm_parity_float(metric):
+    n, d, b, k = 1024, 64, 8, 10
+    q, data = _mk(n, d, b, seed=11)
+    sqn = jnp.sum(data.astype(jnp.float32) ** 2, axis=1)
+    gd, gi, unc = pallas_topk_gm(q, data, sqn, jnp.int32(n), k,
+                                 metric=metric, tile_n=128, group_n=16,
+                                 interpret=True)
+    rd, ri = _ref_topk(q, data, n, k, metric)
+    gd, gi, unc = np.asarray(gd), np.asarray(gi), np.asarray(unc)
+    assert not unc.any(), "random data must be covered"
+    assert np.allclose(gd, rd, atol=5e-4)
+    flip = gi != ri
+    if flip.any():
+        assert np.abs(gd[flip] - rd[flip]).max() < 5e-4
+    # ascending lex order
+    assert (np.diff(gd, axis=1) >= -1e-7).all()
+
+
+def test_gm_count_masking_and_small_count():
+    n, d, b, k = 512, 32, 4, 8
+    q, data = _mk(n, d, b, seed=12)
+    count = 71
+    gd, gi, unc = pallas_topk_gm(q, data, None, jnp.int32(count), k,
+                                 metric=VecSimMetric.Cosine, tile_n=64,
+                                 group_n=16, interpret=True)
+    gd, gi = np.asarray(gd), np.asarray(gi)
+    assert int(gi.max()) < count
+    rd, _ = _ref_topk(q, data, count, k, VecSimMetric.Cosine)
+    if not np.asarray(unc).any():
+        assert np.allclose(gd, rd, atol=5e-4)
+
+
+def test_gm_bf16_int8_uint8_lanes():
+    n, d, b, k = 512, 32, 4, 8
+    # bf16
+    q, data = _mk(n, d, b, dtype=jnp.bfloat16, seed=13)
+    gd, gi, unc = pallas_topk_gm(q, data, None, jnp.int32(n), k,
+                                 metric=VecSimMetric.Cosine, tile_n=64,
+                                 group_n=16, interpret=True)
+    rd, _ = _ref_topk(np.asarray(q, np.float32), np.asarray(data, np.float32),
+                      n, k, VecSimMetric.Cosine)
+    assert not np.asarray(unc).any()
+    assert np.allclose(np.asarray(gd), rd, atol=2e-2)
+    # int8, L2 + cosine
+    qi, di = _mk_int8(n, d, b, seed=14)
+    gd, gi, unc = pallas_topk_gm(qi, di, None, jnp.int32(n), k,
+                                 metric=VecSimMetric.L2, tile_n=64,
+                                 group_n=16, interpret=True)
+    rd, ri = _ref_topk_int(qi, di, n, k, VecSimMetric.L2)
+    assert not np.asarray(unc).any()
+    assert np.array_equal(np.asarray(gi), ri)  # integer lane: exact ids
+    norms = jnp.sqrt(jnp.sum(jnp.asarray(di, jnp.int32) ** 2, axis=1).astype(jnp.float32))
+    qnorms = jnp.sqrt(jnp.sum(jnp.asarray(qi, jnp.int32) ** 2, axis=1).astype(jnp.float32))
+    gd, gi, unc = pallas_topk_gm(qi, di, norms, jnp.int32(n), k,
+                                 metric=VecSimMetric.Cosine, tile_n=64,
+                                 group_n=16, query_norms=qnorms, interpret=True)
+    rd, ri = _ref_topk_int(qi, di, n, k, VecSimMetric.Cosine,
+                           data_norms=norms, query_norms=qnorms)
+    assert not np.asarray(unc).any()
+    assert np.allclose(np.asarray(gd), rd, atol=1e-4)
+    # uint8 L2
+    rng = np.random.default_rng(15)
+    du = jnp.asarray(rng.integers(0, 256, size=(n, d)).astype(np.uint8))
+    qu = jnp.asarray(rng.integers(0, 256, size=(b, d)).astype(np.uint8))
+    gd, gi, unc = pallas_topk_gm(qu, du, None, jnp.int32(n), k,
+                                 metric=VecSimMetric.L2, tile_n=64,
+                                 group_n=16, interpret=True)
+    rd, ri = _ref_topk_int(qu, du, n, k, VecSimMetric.L2)
+    assert not np.asarray(unc).any()
+    assert np.array_equal(np.asarray(gi), ri)
+
+
+def test_gm_uncovered_flag_on_adversarial_ties():
+    # Every row identical -> every group min ties at the k-th boundary; the
+    # suspect set cannot prove coverage and the flag must trip (the caller
+    # then falls back to the streaming engine).
+    base = np.ones((1, 32), np.float32) / np.sqrt(32)
+    data = jnp.asarray(np.tile(base, (256, 1)))
+    q = jnp.asarray(np.tile(base, (2, 1)))
+    gd, gi, unc = pallas_topk_gm(q, data, None, jnp.int32(256), 8,
+                                 metric=VecSimMetric.Cosine, tile_n=64,
+                                 group_n=16, interpret=True)
+    assert np.asarray(unc).all()
+
+
+def test_gm_hidden_group_members():
+    # Pack the true top-k into FEW groups (many top-k entries hide behind
+    # one group min): rescoring the suspicious groups' membership must
+    # recover all of them. Rows 0..L-1 of tile 0 share group 0 when
+    # group_n == 16 and stride L == tile_n // 16 -- instead make the k
+    # nearest all multiples of group-stride so they collapse into one
+    # group: ids {0, 16, 32, ...} with group_n=16, tile_n=64 -> L=4;
+    # group g holds {g, g+16, g+32, g+48}. Put the 4 closest at
+    # {0, 16, 32, 48} (all group 0) and next-closest in group 1.
+    d = 32
+    rng = np.random.default_rng(16)
+    data = rng.standard_normal((128, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    q = data[0:1].copy()
+    for rank, rid in enumerate([0, 16, 32, 48, 1, 17, 33, 49]):
+        v = q[0] + (rank + 1) * 1e-3 * rng.standard_normal(d).astype(np.float32)
+        data[rid] = v / np.linalg.norm(v)
+    data[0] = q[0]
+    dj = jnp.asarray(data)
+    qj = jnp.asarray(q)
+    gd, gi, unc = pallas_topk_gm(qj, dj, None, jnp.int32(128), 8,
+                                 metric=VecSimMetric.Cosine, tile_n=64,
+                                 group_n=16, interpret=True)
+    rd, ri = _ref_topk(qj, dj, 128, 8, VecSimMetric.Cosine)
+    assert not np.asarray(unc).any()
+    assert set(np.asarray(gi)[0].tolist()) == set(ri[0].tolist())

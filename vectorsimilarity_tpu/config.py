@@ -131,6 +131,14 @@ pallas_max_k: int = 128
 # in-kernel census + full-width repair for the rare group collision.
 # Smaller = cheaper pops but more repairs on early tiles.
 pallas_group_n: int = 512
+# Group-min engine (``pallas_topk_gm``): for k <= pallas_gm_max_k the
+# kernel emits per-tile strided group minima ONLY (no in-kernel selection
+# state at all — the matmul-bound design) and the XLA side rescores the
+# k+slack suspect groups' membership exactly. Preferred over the
+# single-buffer kernel wherever it applies.
+pallas_gm_max_k: int = 32
+pallas_gm_group_n: int = 256
+pallas_gm_slack: int = 8
 # Per-tile survivor count for the big-k path; exactness is verified by the
 # kernel's truncation flag (fallback to streaming on the ~never case).
 pallas_local_c: int = 32
@@ -185,6 +193,24 @@ def pallas_enabled(kind: str, k: int, capacity: int, dtype=None,
         return True
     if k > pallas_max_k:
         return False
+    if batch is not None and batch < pallas_min_batch:
+        return False
+    return _on_tpu()
+
+
+def pallas_gm_enabled(kind: str, k: int, capacity: int, dtype=None,
+                      batch=None) -> bool:
+    """Gate for the group-min engine (k <= pallas_gm_max_k)."""
+    if not _pallas_common(kind, capacity, dtype):
+        return False
+    if k > pallas_gm_max_k:
+        return False
+    tile = min(pallas_tile_n, capacity)
+    n_groups = (capacity // tile) * min(pallas_gm_group_n, tile)
+    if n_groups < k + pallas_gm_slack + 2:  # coverage bound needs 2 spare
+        return False
+    if use_pallas == "always":
+        return True
     if batch is not None and batch < pallas_min_batch:
         return False
     return _on_tpu()

@@ -207,6 +207,26 @@ class BruteForceIndex(DeviceVectorIndex):
                     metric=self.metric, kind=self.store_kind, mesh=self.mesh,
                     query_norms=qn,
                 )
+            if config.pallas_gm_enabled(self.store_kind, min(k, max(count, 1)),
+                                        self.store.capacity,
+                                        self.store.fields["data"].device_dtype,
+                                        batch=qd.shape[0]):
+                from ..ops.pallas.bf_topk import pallas_topk_gm
+
+                data, sqn = self.store_tuple(dev)
+                bd, bi, unc = pallas_topk_gm(
+                    qd, data, sqn, jnp.int32(count),
+                    min(k, max(count, 1)),
+                    metric=self.metric,
+                    tile_n=min(config.pallas_tile_n, self.store.capacity),
+                    group_n=config.pallas_gm_group_n,
+                    slack=config.pallas_gm_slack,
+                    query_norms=qn,
+                )
+                if not bool(jnp.any(unc)):
+                    return bd, bi
+                # Coverage fallback (see pallas_topk_gm docstring) — drop
+                # through to the next engine.
             if config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
                                      self.store.fields["data"].device_dtype,
                                      batch=qd.shape[0]):
@@ -276,6 +296,28 @@ class BruteForceIndex(DeviceVectorIndex):
             dists, ids = self._topk_single_segmented(
                 jnp.asarray(q), qnorms, dev, count, kpad, budget
             )
+        elif config.pallas_gm_enabled(self.store_kind, kk, self.store.capacity,
+                                      self.store.fields["data"].device_dtype,
+                                      batch=len(q)):
+            from ..ops.pallas.bf_topk import pallas_topk_gm
+
+            data, sqn = self.store_tuple(dev)
+            dists, ids, unc = pallas_topk_gm(
+                jnp.asarray(q), data, sqn, jnp.int32(count), kk,
+                metric=self.metric,
+                tile_n=min(config.pallas_tile_n, self.store.capacity),
+                group_n=config.pallas_gm_group_n,
+                slack=config.pallas_gm_slack,
+                query_norms=None if qnorms is None else jnp.asarray(qnorms),
+            )
+            if bool(jnp.any(unc)):
+                # Coverage fallback (see pallas_topk_gm docstring).
+                dists, ids = streaming_topk(
+                    jnp.asarray(q), self.store_tuple(dev), jnp.int32(count),
+                    kpad, metric=self.metric, kind=self.store_kind,
+                    chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
+                    query_norms=None if qnorms is None else jnp.asarray(qnorms),
+                )
         elif config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
                                    self.store.fields["data"].device_dtype,
                                    batch=len(q)):

@@ -477,6 +477,200 @@ def pallas_topk(
 
 
 # ---------------------------------------------------------------------------
+# Group-min engine (default for k <= config.pallas_gm_max_k): the kernel
+# keeps NO selection state at all
+# ---------------------------------------------------------------------------
+#
+# The single-buffer kernel above pays an O(k) in-VMEM pop merge whenever ANY
+# query in the batch improves — at batch 1024 that is every tile — so the
+# cheap-dtype (bf16/int8/uint8) lanes gain only ~1.3x over fp32 despite
+# 3-6x cheaper matmuls. This engine moves ALL selection out of the kernel:
+# each tile emits its strided GROUP minima only (one fused masked min chain
+# after the matmul — no pops, no census, no scratch), and the XLA side
+# (a) picks the k+slack smallest group minima with the cheap grouped-argmin
+# selector (``distances._lex_topk`` — NOT ``lax.top_k``, whose sort-based
+# TPU lowering costs ~90 ms per [1024, 64k] tile), (b) gathers those
+# suspect groups' full membership (L rows each, a few hundred rows per
+# query) and rescores them with the SAME ``scores_float``/``scores_int``
+# code as the XLA streaming engine, and (c) lex-sorts that tiny set.
+#
+# Exactness: any true top-k entry lives in a group whose min is <= the true
+# k-th distance, so it is missed only if its group ranks below the k+slack
+# suspects — i.e. only if the rescored k-th best ``d_k`` reaches the first
+# UNSELECTED group min ``m_next``. The returned per-query flag is exactly
+# that test (with a small epsilon guard for the float lanes, where the
+# kernel's bf16_3x/native accumulation order may differ from the rescore's
+# by ~1e-7 relative; the integer lanes are bit-exact and need no guard).
+# Flagged queries fall back to the streaming engine. Coverage implies the
+# result IS the XLA engine's answer: distances come from the same scoring
+# code, and the final lex sort enforces the same (distance, id) tie order.
+
+
+def _make_gm_kernel(metric, tile_n, with_sqnorm, mode, G):
+    metric = VecSimMetric(metric)
+    L = tile_n // G
+
+    def kernel(count_ref, q_ref, qsq_ref, *rest):
+        if with_sqnorm:
+            data_ref, sqn_ref, out_ref = rest
+        else:
+            data_ref, out_ref = rest
+            sqn_ref = None
+        j = pl.program_id(0)
+        B = q_ref.shape[0]
+        s = _tile_scores(metric, mode, tile_n, q_ref, qsq_ref, data_ref, sqn_ref)
+        gids = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+        s = jnp.where(gids < count_ref[0], s, jnp.inf)
+        gmin = s[:, :G]
+        for l in range(1, L):
+            gmin = jnp.minimum(gmin, s[:, l * G : (l + 1) * G])
+        out_ref[:] = gmin
+
+    return kernel
+
+
+def _rescore_members(queries, rows, metric, mode, sqn_rows, qn):
+    """Exact per-query member rescore, vmapped over the batch.
+
+    ``rows`` is [B, C, D] gathered candidates; reuses the XLA engine's own
+    scoring functions so coverage implies bit-identical distances to the
+    streaming path."""
+    from ..distances import scores_float, scores_int
+
+    if mode in ("int", "uint"):
+        if metric == VecSimMetric.Cosine:
+            return jax.vmap(
+                lambda qb, rb, nb, qnb: scores_int(
+                    qb[None], rb, metric, data_norms=nb, query_norms=qnb[None]
+                )[0]
+            )(queries, rows, sqn_rows, qn)
+        return jax.vmap(
+            lambda qb, rb: scores_int(qb[None], rb, metric)[0]
+        )(queries, rows)
+    if metric == VecSimMetric.L2:
+        return jax.vmap(
+            lambda qb, rb, sb: scores_float(qb[None], rb, metric, data_sqnorms=sb)[0]
+        )(queries, rows, sqn_rows)
+    return jax.vmap(
+        lambda qb, rb: scores_float(qb[None], rb, metric)[0]
+    )(queries, rows)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_n", "group_n", "slack", "interpret"),
+)
+def pallas_topk_gm(
+    queries: jax.Array,
+    data: jax.Array,
+    sqnorms: jax.Array | None,  # [N] f32: sqnorms (float L2) / norms (int cos)
+    count: jax.Array,
+    k: int,
+    *,
+    metric: VecSimMetric,
+    tile_n: int = 4096,
+    group_n: int = 256,
+    slack: int = 8,
+    interpret: bool = False,
+    query_norms: jax.Array | None = None,  # [B] f32, int/uint cosine only
+):
+    """Exact top-k via per-tile group minima + XLA suspect rescue.
+
+    Returns (dists [B, k], ids [B, k], uncovered [B] bool). ``uncovered``
+    True means the k-th rescored distance reached the first unselected
+    group's min — the suspect set may not cover the true top-k and the
+    caller must fall back to an exact path for that batch. Requires
+    ``n_tiles * G >= k + slack + 2`` (gate via ``config.pallas_gm_enabled``).
+    """
+    B, D = queries.shape
+    N = data.shape[0]
+    metric = VecSimMetric(metric)
+    assert N % tile_n == 0, f"N={N} must be padded to tile_n={tile_n}"
+    n_tiles = N // tile_n
+    G = min(group_n, tile_n)
+    L = tile_n // G
+    T = n_tiles * G
+    S = min(k + slack, T - 2)
+    assert S >= k, f"too few groups (T={T}) for k={k}: gate this shape off"
+    mode, qk, qsq, with_sqnorm, sqn, itemsize = _mode_and_aux(
+        queries, data, sqnorms, metric, query_norms
+    )
+    kernel = _make_gm_kernel(metric, tile_n, with_sqnorm, mode, G)
+
+    rep = lambda j: (0, 0)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # count
+        pl.BlockSpec((B, D), rep, memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((B, qsq.shape[1]), rep, memory_space=pltpu.VMEM),  # qaux
+        pl.BlockSpec((tile_n, D), lambda j: (j, 0), memory_space=pltpu.VMEM),  # data
+    ]
+    args = [jnp.asarray([count], dtype=jnp.int32), qk, qsq, data]
+    if with_sqnorm:
+        in_specs.append(pl.BlockSpec((tile_n,), lambda j: (j,), memory_space=pltpu.VMEM))
+        args.append(sqn)
+
+    gm = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, G), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * N * (3 if mode == "bf16_3x" else 1),
+            bytes_accessed=N * D * itemsize + B * T * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    from ..distances import _lex_topk
+
+    gvals, gpos = _lex_topk(gm, S + 1)  # [B, S+1] smallest group minima
+    m_next = gvals[:, S]  # first UNSELECTED group's min (coverage bound)
+    sus = gpos[:, :S]  # flat group index t = tile*G + g
+    # Member row ids of suspect groups: strided group g of tile j holds
+    # columns {g, G+g, ..., (L-1)G+g}, i.e. rows j*tile_n + g + l*G.
+    tile_of = sus // G
+    g_of = sus % G
+    mem = (
+        tile_of[:, :, None] * tile_n
+        + g_of[:, :, None]
+        + jnp.arange(L, dtype=jnp.int32)[None, None, :] * G
+    ).reshape(B, S * L)
+    # Global-id candidate order: lex ties must break by id, but the natural
+    # order here is suspect-rank-major. Sort columns by id per row first so
+    # _lex_topk's lowest-position tie rule becomes lowest-id.
+    order = jnp.argsort(mem, axis=1)
+    mem = jnp.take_along_axis(mem, order, axis=1)
+    live = mem < count
+    rows = data[mem]  # [B, S*L, D] gather
+    sqn_rows = None if sqn is None else sqn[mem]
+    # Rescore with the ORIGINAL queries (scores_int handles the uint8
+    # shift itself — same algebra as the streaming engine).
+    d = _rescore_members(queries, rows, metric, mode, sqn_rows, query_norms)
+    d = jnp.where(live, d.astype(jnp.float32), jnp.inf)
+    vals, pos = _lex_topk(d, k)
+    out_i = jnp.take_along_axis(mem, pos, axis=1)
+    out_i = jnp.where(jnp.isfinite(vals), out_i, -1)
+    # Coverage flag: the k-th best must beat every unselected group's min.
+    # Float lanes guard the kernel-vs-rescore accumulation-order skew; the
+    # integer lanes are exact.
+    if mode in ("int", "uint"):
+        eps = jnp.float32(0.0)
+    else:
+        eps = 1e-5 * jnp.maximum(
+            jnp.float32(1.0), jnp.maximum(jnp.abs(vals[:, k - 1]), jnp.abs(m_next))
+        )
+    uncovered = ~(vals[:, k - 1] < m_next - eps)
+    # All-covered corner: if every live row fit in the suspect set and k
+    # exceeds the live candidates, unfilled slots are (inf, -1) — complete
+    # iff every group was inspected, which the same flag test handles
+    # (m_next == inf when T <= S+1 cannot happen: S <= T-2).
+    return vals, out_i, uncovered
+
+
+# ---------------------------------------------------------------------------
 # Large k (the reference's BF k=500 config): per-tile local top-c
 # ---------------------------------------------------------------------------
 #
