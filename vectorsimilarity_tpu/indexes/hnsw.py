@@ -1463,6 +1463,18 @@ class HNSWIndex(DeviceVectorIndex):
         boundary = radius * (1.0 + eps)
         ef = 32
         q2 = np.asarray(query).reshape(1, -1)
+        # Each doubling re-searches FRESH — deliberately. Resuming the
+        # carried beam (``search_resumable``) was evaluated and rejected:
+        # a resumed window cannot recover scored-then-evicted nodes (their
+        # visited bits suppress re-scoring — see
+        # hnsw_batch_iterator._search_more), and at small ef with a wide
+        # radius most sub-radius nodes ARE evicted, so pure resume breaks
+        # the epsilon contract. Probing with resume and finishing with one
+        # fresh pass is sound but saves nothing: the probes collectively
+        # expand every node once (~one full search) and the fresh terminal
+        # pass is a second — the same 2E total this loop already costs.
+        # A true single-pass design needs the reference's spillover heap
+        # (hnsw_batch_iterator.h:206-249) carried in device state.
         while True:
             dists, ids = self.search_knn(q2, 1, ef)
             d, i = dists[0], ids[0]

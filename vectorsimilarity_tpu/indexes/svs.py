@@ -1118,6 +1118,8 @@ class SVSIndex(DeviceVectorIndex):
         boundary = radius * (1.0 + eps)
         ef = max(self.ws, 32)
         q2 = np.asarray(query).reshape(1, -1)
+        # Fresh search per doubling — resume was evaluated and rejected
+        # (lossy window, no net saving; see HNSWIndex.range_query note).
         while True:
             dists, ids = self.search_knn(q2, 1, ef)
             d, i = dists[0], ids[0]
