@@ -94,6 +94,12 @@ class BlockStore:
         self._host_stale: set[str] = set()
         self._dirty_rows: dict[str, set[int]] = {n: set() for n in self.fields}
         self._dirty_from: int = 0  # appended/overwritten suffix start
+        # Deferred swap-delete row moves on device-authoritative fields:
+        # {field: {dst: original_src}} applied as ONE batched gather+scatter
+        # per field at the next sync. Without this every swap-delete on an
+        # adopted store pulled the whole device copy to host first —
+        # ~100 ms/delete at 1M x 768 through the relay, and GBs at 10M.
+        self._pending_moves: dict[str, dict[int, int]] = {n: {} for n in self.fields}
         self._device_capacity = -1
         self._resize(_bucket_capacity(1, self.block_size))
 
@@ -125,6 +131,7 @@ class BlockStore:
         arr = np.full((self.capacity, *spec.shape), spec.fill, dtype=spec.dtype)
         self.host[name] = arr
         self._dirty_rows[name] = set()
+        self._pending_moves[name] = {}
         self._device_capacity = -1  # force a full re-upload on next sync
 
     def maybe_shrink(self) -> None:
@@ -161,14 +168,29 @@ class BlockStore:
         """
         last = self.count - 1
         if idx != last:
-            if self._host_stale:
-                # After adopt_device/bulk builds the device copy is the
-                # authority; copying unfilled host rows here (and marking
-                # them dirty) would push garbage back over it.
-                self.pull_host()
             for name in self.fields:
-                self.host[name][idx] = self.host[name][last]
-                self._dirty_rows[name].add(int(idx))
+                if name in self._host_stale and not (
+                    last >= self._dirty_from or last in self._dirty_rows[name]
+                ):
+                    # Device-authoritative row: defer the move to the next
+                    # device sync (one batched gather+scatter per field for
+                    # any number of deletes). Chains resolve at record time
+                    # so one flat gather from the untouched device array is
+                    # exact; a pending host write to ``idx`` is superseded.
+                    mv = self._pending_moves[name]
+                    mv[int(idx)] = mv.get(int(last), int(last))
+                    self._dirty_rows[name].discard(int(idx))
+                else:
+                    # Host holds the authoritative content for row ``last``
+                    # (filled mirror, un-synced append suffix, or set_row).
+                    if name in self._host_stale:
+                        # ``idx`` may previously have received a deferred
+                        # device move; this newer host write supersedes it
+                        # only if it scatters AFTER the move flush — which
+                        # device_arrays() guarantees (moves flush first).
+                        self._pending_moves[name].pop(int(idx), None)
+                    self.host[name][idx] = self.host[name][last]
+                    self._dirty_rows[name].add(int(idx))
         self.count = last
         return last
 
@@ -185,6 +207,31 @@ class BlockStore:
 
     # -- device sync ---------------------------------------------------------
 
+    def _flush_moves(self) -> None:
+        """Apply deferred swap-delete row moves to the device arrays.
+
+        One gather+scatter per field, padded to a pow2 width (bounded
+        compile cache). Runs BEFORE host uploads in ``device_arrays`` (a
+        host write to a moved row is newer and must win) and before any
+        ``pull_host``."""
+        for name, mv in self._pending_moves.items():
+            if not mv:
+                continue
+            dst = np.fromiter(mv.keys(), dtype=np.int32, count=len(mv))
+            src = np.fromiter(mv.values(), dtype=np.int32, count=len(mv))
+            mv.clear()
+            npad = 1
+            while npad < len(dst):
+                npad *= 2
+            pad = npad - len(dst)
+            if pad:
+                dst = np.concatenate([dst, np.repeat(dst[-1:], pad)])
+                src = np.concatenate([src, np.repeat(src[-1:], pad)])
+            arr = self._device[name]
+            self._device[name] = arr.at[jnp.asarray(dst)].set(
+                arr[jnp.asarray(src)], unique_indices=False
+            )
+
     def device_arrays(self) -> dict[str, jax.Array]:
         """Return device copies, applying pending host mutations.
 
@@ -196,6 +243,7 @@ class BlockStore:
                 return host_rows.astype(spec.device_dtype)
             return host_rows
 
+        self._flush_moves()
         if self._device_capacity != self.capacity:
             # Capacity bucket changed: full upload (row-sharded over the
             # mesh when one is configured — capacity buckets are pow2
@@ -314,6 +362,8 @@ class BlockStore:
         self._device_capacity = cap
         for dset in self._dirty_rows.values():
             dset.clear()
+        for mv in self._pending_moves.values():
+            mv.clear()
         self._dirty_from = count
         self._host_stale = set(arrays)
 
@@ -324,6 +374,7 @@ class BlockStore:
         ``adopt_device`` or ``mark_host_stale``). Serialization and host-path
         mutations call this before trusting host arrays.
         """
+        self._flush_moves()
         names = [f for f in (fields or tuple(self._host_stale)) if f in self._host_stale]
         if not names or not self.count:
             self._host_stale -= set(names)

@@ -45,6 +45,7 @@ from ..ops.graph_search import (
     beam_search,
     dists_to_ids,
     diversity_prune,
+    diversity_prune_chunked,
     exact_rerank,
     greedy_level,
 )
@@ -435,7 +436,8 @@ class HNSWIndex(DeviceVectorIndex):
         batch: Optional[int] = None,
         scan_batches: Optional[int] = None,
         assume_normalized: bool = False,
-    ) -> None:
+        _deferred: bool = False,
+    ):
         """Build the whole index from a device-resident dataset.
 
         TPU-native bulk ingest: ``data`` is a jax array [N, dim] already on
@@ -450,6 +452,14 @@ class HNSWIndex(DeviceVectorIndex):
 
         The index must be empty. ``labels`` defaults to 0..N-1 (must be
         unique for non-multi indexes).
+
+        ``_deferred=True`` returns a generator instead of running to
+        completion: each ``next()`` dispatches ONE fused scan segment and
+        yields BEFORE forcing its result, so a multi-shard driver
+        (``parallel.sharded_graph.bulk_build_device``) can keep one
+        segment in flight on every mesh device at once — the segments of
+        different shards overlap instead of serializing shard-after-shard.
+        The caller must exhaust the generator.
         """
         from ..core.store import _bucket_capacity
 
@@ -562,38 +572,67 @@ class HNSWIndex(DeviceVectorIndex):
                 a_cap=config.build_reverse_cap,
                 beam_expand=config.build_beam_expand,
             )
-            nb = n // batch
-            pos = 0
-            while nb - pos >= 2:
-                T = min(scan_batches, nb - pos)
-                off0 = pos * batch
-                offsets = jnp.arange(off0, off0 + T * batch, batch, dtype=jnp.int32)
-                lv = jnp.asarray(levels[off0 : off0 + T * batch].reshape(T, batch))
-                ur = jnp.asarray(urows[off0 : off0 + T * batch].reshape(T, batch))
+        def _segments():
+            import jax as _jax
 
-                def run_segment(s=state, o=offsets, l=lv, u=ur):
-                    s2, d2 = graph_build.build_scan(s, ctx, o, l, u, **kw)
-                    # Force execution before the next segment enqueues:
-                    # piling many multi-minute scan programs into the async
-                    # stream has crashed relay-backed TPU workers, and the
-                    # read is what surfaces retryable failures here.
-                    return s2, int(np.asarray(d2).sum())
+            with self._lock:
+                state_ = state
+                nb = n // batch
+                pos = 0
+                while nb - pos >= 2:
+                    T = min(scan_batches, nb - pos)
+                    off0 = pos * batch
+                    offsets = jnp.arange(
+                        off0, off0 + T * batch, batch, dtype=jnp.int32
+                    )
+                    lv = jnp.asarray(
+                        levels[off0 : off0 + T * batch].reshape(T, batch)
+                    )
+                    ur = jnp.asarray(
+                        urows[off0 : off0 + T * batch].reshape(T, batch)
+                    )
 
-                state, dropped = retry_device(run_segment)
-                self._build_dropped.append(dropped)
-                pos += T
-                self.log("debug", f"bulk build: {pos * batch}/{n}")
-            self._adopt_graph_state(state)
-            tail_start = pos * batch
-            if tail_start > 0:
-                pref = levels[:tail_start]
-                top_row = int(np.argmax(pref))
-                self.entry_id = top_row
-                self.max_level = int(pref[top_row])
-            if tail_start < n:
-                self._connect_batch_device(
-                    np.arange(tail_start, n, dtype=np.int32), levels[tail_start:]
-                )
+                    def run_segment(s=state_, o=offsets, l=lv, u=ur):
+                        s2, d2 = graph_build.build_scan(s, ctx, o, l, u, **kw)
+                        return s2, int(np.asarray(d2).sum())
+
+                    # Dispatch, yield, THEN force: with one driver thread
+                    # round-robining several shards, each mesh device keeps
+                    # exactly one segment in flight (never more — piling
+                    # multi-minute programs into one device's async stream
+                    # has crashed relay-backed TPU workers, and the forcing
+                    # read is what surfaces retryable failures).
+                    s2, d2 = graph_build.build_scan(
+                        state_, ctx, offsets, lv, ur, **kw
+                    )
+                    yield
+                    try:
+                        state_, dropped = s2, int(np.asarray(d2).sum())
+                    except _jax.errors.JaxRuntimeError:
+                        # Retryable backend flake: re-dispatch this segment
+                        # from the previous state (idempotent).
+                        state_, dropped = retry_device(run_segment)
+                    self._build_dropped.append(dropped)
+                    pos += T
+                    self.log("debug", f"bulk build: {pos * batch}/{n}")
+                self._adopt_graph_state(state_)
+                tail_start = pos * batch
+                if tail_start > 0:
+                    pref = levels[:tail_start]
+                    top_row = int(np.argmax(pref))
+                    self.entry_id = top_row
+                    self.max_level = int(pref[top_row])
+                if tail_start < n:
+                    self._connect_batch_device(
+                        np.arange(tail_start, n, dtype=np.int32),
+                        levels[tail_start:],
+                    )
+
+        if _deferred:
+            return _segments()
+        for _ in _segments():
+            pass
+        return None
 
     # -- construction (host-orchestrated reference path) -----------------
 
@@ -829,13 +868,14 @@ class HNSWIndex(DeviceVectorIndex):
             qn = None
             if ctx.norm is not None:
                 qn = ctx.norm[jnp.asarray(nodes)]
-            cd = dists_to_ids(
-                q, jnp.asarray(cand), ctx, metric=self.metric,
-                kind=self.store_kind, q_norm=qn,
-            )
+            # Chunked: at bulk-GC scale the repair set is O(tombstones * M)
+            # rows and a single up-front [B, C, D] distance gather is tens
+            # of GB (observed 103 GB at a 100k-overwrite GC, 1M x 768) —
+            # diversity_prune_chunked computes distances inside ~0.5 GB
+            # row chunks instead.
             sel = np.asarray(
-                diversity_prune(
-                    q, jnp.asarray(cand), cd, ctx, m=m,
+                diversity_prune_chunked(
+                    q, jnp.asarray(cand), None, ctx, m=m,
                     metric=self.metric, kind=self.store_kind, q_norm=qn,
                 )
             )
