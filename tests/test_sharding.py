@@ -305,12 +305,46 @@ def test_sharded_vamana_recall_and_delete(mesh):
         idx.delete_vector(lab)
     for r in idx.topk_query_batch(qs, k):
         assert not any(l % 4 == 0 for l in r.ids.tolist())
-    # Quantized search spaces are per-shard metadata + rerank passes the
+    # Two-level residual / LeanVec modes carry per-shard rerank passes the
     # cross-shard program doesn't reproduce — constructor must refuse.
     with pytest.raises(ValueError):
         ShardedVamana(
             SVSParams(type=VecSimType.FLOAT32, dim=dim,
-                      quantBits=VecSimSvsQuantBits.Q8), mesh)
+                      quantBits=VecSimSvsQuantBits.Q4x8), mesh)
+
+
+def test_sharded_vamana_sq8_quantized(mesh):
+    """Single-level SQ8 primaries ride the stacked vmin/delta columns and
+    the asymmetric kernels; recall holds vs exact fp32 ground truth."""
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedVamana
+    from vectorsimilarity_tpu.types import (
+        SVSParams, VecSimSvsQuantBits, VecSimType,
+    )
+
+    rng = np.random.default_rng(13)
+    n, dim, k = 1200, 24, 10
+    p = SVSParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        graph_max_degree=16, construction_window_size=60,
+        search_window_size=60, quantBits=VecSimSvsQuantBits.Q8,
+    )
+    idx = ShardedVamana(p, mesh)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.add_vector_batch(data, list(range(n)))
+    qs = rng.standard_normal((6, dim)).astype(np.float32)
+    want = np.argsort(gt_scores(qs, data, VecSimMetric.L2), axis=1)[:, :k]
+    reps = idx.topk_query_batch(qs, k)
+    rec = np.mean(
+        [len(set(r.ids.tolist()) & set(want[b].tolist())) / k
+         for b, r in enumerate(reps)]
+    )
+    assert rec >= 0.8, rec  # SQ8 asymmetric: small quantization loss ok
+    # Reported distances track the per-shard single index's own SQ8
+    # distances (same asymmetric space) for the shard that owns label 0.
+    s = idx._label_shard[int(reps[0].ids[0])]
+    single = idx.shards[s].topk_query(qs[0], 1)
+    assert single.ids[0] == reps[0].ids[0]
+    assert abs(float(single.scores[0]) - float(reps[0].scores[0])) < 1e-3
 
 
 def test_sharded_graph_range_and_persistence(mesh):
@@ -433,3 +467,43 @@ def test_sharded_hnsw_bulk_build_device(mesh):
     assert int(want[0][0]) not in idx.topk_query(qs[0], k).ids.tolist()
     idx.add_vector(host[3] * 0.5, n + 1)
     assert (n + 1) in idx.topk_query(host[3] * 0.5, 1).ids.tolist()
+
+
+def test_sharded_batch_iterator_and_info(mesh):
+    """Merged paging over per-shard resumable iterators: best-first pages,
+    no repeats, deep paging reaches every label; info aggregates."""
+    from vectorsimilarity_tpu.parallel.sharded_graph import ShardedHNSW
+    from vectorsimilarity_tpu.types import HNSWParams, VecSimType
+
+    rng = np.random.default_rng(31)
+    n, dim = 800, 16
+    p = HNSWParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.L2,
+        M=8, efConstruction=60, efRuntime=40,
+    )
+    idx = ShardedHNSW(p, mesh)
+    host = rng.standard_normal((n, dim)).astype(np.float32)
+    idx.add_vector_batch(host, list(range(n)))
+    q = rng.standard_normal(dim).astype(np.float32)
+
+    it = idx.new_batch_iterator(q)
+    got, scores = [], []
+    while not it.is_depleted() and len(got) < n:
+        rep = it.get_next_results(64)
+        if not len(rep):
+            break
+        got.extend(int(x) for x in rep.ids)
+        scores.extend(float(s) for s in rep.scores)
+    assert len(got) == len(set(got)), "batch iterator repeated a label"
+    # Deep paging drains (approximately) the whole sharded index.
+    assert len(got) >= int(0.95 * n)
+    # First page is genuinely best-first: top-10 of page one ~ global top-10.
+    d = np.sum((host - q) ** 2, axis=1)
+    top = set(np.argsort(d)[:10].tolist())
+    assert len(top & set(got[:64])) >= 8
+
+    info = idx.debug_info()
+    assert info.commonInfo.indexSize == n
+    assert info.commonInfo.indexLabelCount == n
+    assert len(idx.shard_debug_info()) == idx.n_shards
+    assert idx.stats_info().memory == idx.memory_bytes

@@ -488,7 +488,8 @@ class SVSIndex(DeviceVectorIndex):
         batch: Optional[int] = None,
         scan_batches: Optional[int] = None,
         assume_normalized: bool = False,
-    ) -> None:
+        _deferred: bool = False,
+    ):
         """Build the whole Vamana index from a device-resident dataset.
 
         The SVS analog of ``HNSWIndex.bulk_build_device``: ``data`` is a jax
@@ -614,47 +615,71 @@ class SVSIndex(DeviceVectorIndex):
             state = graph_build.VamanaState(
                 dev["links"], dev["nlinks"], jnp.int32(-1)
             )
-            nb = n // batch
-            pos = 0
-            built_at_medoid = 0  # rows built at the last medoid refresh
-            while nb - pos >= 2:
-                T = min(scan_batches, nb - pos)
-                off0 = pos * batch
-                offsets = jnp.arange(off0, off0 + T * batch, batch, dtype=jnp.int32)
+        def _segments():
+            import jax as _jax
 
-                def run_segment(s=state, o=offsets):
-                    s2, d2 = graph_build.vamana_build_scan(s, ctx, o, n=batch, **kw)
-                    # Force execution before the next segment enqueues (the
-                    # relay kills sessions running multi-minute programs, and
-                    # the read surfaces retryable failures here).
-                    return s2, int(np.asarray(d2).sum())
-
-                state, dropped = retry_device(run_segment)
-                self._build_dropped.append(dropped)
-                pos += T
-                built = pos * batch
-                # Same growth rule as the incremental path: refresh the
-                # medoid once the prefix grew >12.5% since the last refresh
-                # (the entry must stay among rows that already have links).
-                if (built - built_at_medoid) * 8 > built or built_at_medoid == 0:
-                    self._update_medoid(limit=built)
-                    built_at_medoid = built
-                    state = graph_build.VamanaState(
-                        state.links, state.nlinks, jnp.int32(self.entry_id)
+            with self._lock:
+                state_ = state
+                nb = n // batch
+                pos = 0
+                built_at_medoid = 0  # rows built at the last medoid refresh
+                while nb - pos >= 2:
+                    T = min(scan_batches, nb - pos)
+                    off0 = pos * batch
+                    offsets = jnp.arange(
+                        off0, off0 + T * batch, batch, dtype=jnp.int32
                     )
-                self.log("debug", f"svs bulk build: {built}/{n}")
-            self.store._device["links"] = state.links
-            self.store._device["nlinks"] = state.nlinks
-            self.store.mark_host_stale("links", "nlinks")
-            self._host_links_stale = True
-            if state.entry >= 0:
-                self.entry_id = int(state.entry)
-            tail_start = pos * batch
-            if tail_start < n:
-                self._connect_batch_device(
-                    np.arange(tail_start, n, dtype=np.int32)
-                )
-            self._update_medoid()
+
+                    def run_segment(s=state_, o=offsets):
+                        s2, d2 = graph_build.vamana_build_scan(
+                            s, ctx, o, n=batch, **kw
+                        )
+                        return s2, int(np.asarray(d2).sum())
+
+                    # Dispatch, yield, THEN force (see
+                    # HNSWIndex.bulk_build_device: one in-flight segment per
+                    # mesh device under a round-robin shard driver; the
+                    # forcing read surfaces retryable relay failures).
+                    s2, d2 = graph_build.vamana_build_scan(
+                        state_, ctx, offsets, n=batch, **kw
+                    )
+                    yield
+                    try:
+                        state_, dropped = s2, int(np.asarray(d2).sum())
+                    except _jax.errors.JaxRuntimeError:
+                        state_, dropped = retry_device(run_segment)
+                    self._build_dropped.append(dropped)
+                    pos += T
+                    built = pos * batch
+                    # Same growth rule as the incremental path: refresh the
+                    # medoid once the prefix grew >12.5% since the last
+                    # refresh (the entry must stay among rows that already
+                    # have links).
+                    if (built - built_at_medoid) * 8 > built or built_at_medoid == 0:
+                        self._update_medoid(limit=built)
+                        built_at_medoid = built
+                        state_ = graph_build.VamanaState(
+                            state_.links, state_.nlinks, jnp.int32(self.entry_id)
+                        )
+                    self.log("debug", f"svs bulk build: {built}/{n}")
+                self.store._device["links"] = state_.links
+                self.store._device["nlinks"] = state_.nlinks
+                self.store.mark_host_stale("links", "nlinks")
+                self._host_links_stale = True
+                if state_.entry >= 0:
+                    self.entry_id = int(state_.entry)
+                tail_start = pos * batch
+                if tail_start < n:
+                    self._connect_batch_device(
+                        np.arange(tail_start, n, dtype=np.int32)
+                    )
+                self._update_medoid()
+
+        if _deferred:
+            return _segments()
+        for _ in _segments():
+            pass
+        return None
 
     def _connect_batch(self, ids: list[int], raw_vecs: np.ndarray) -> None:
         self._ensure_host_links()  # host path writes host link rows directly

@@ -60,7 +60,7 @@ from .sharding import AXIS
 
 
 def _search_one_shard(
-    q, qn, arrs, entry, count, *, k, ef, lmax, cap, metric, kind, expand
+    q, qn, qm, arrs, entry, count, *, k, ef, lmax, cap, metric, kind, expand
 ):
     """Exact-fp32 descent + beam on ONE shard's arrays; [B, k] local result.
 
@@ -69,16 +69,19 @@ def _search_one_shard(
     gather + rerank keeps the cross-shard program simple, and per-shard
     batches are a fraction of the single-index batch so the bandwidth
     win matters less). Single-layer graphs (Vamana) pass no ``ulinks`` and
-    go straight from the shard's entry/medoid into the beam.
+    go straight from the shard's entry/medoid into the beam. Quantized
+    stores (sq8/sq4 primaries) carry per-row vmin/delta and the queries'
+    (Σy, Σy²) metadata ``qm`` for the asymmetric kernels.
     """
     B = q.shape[0]
     ctx = StoreCtx(
-        data=arrs["data"], sqnorm=arrs.get("sqnorm"), norm=arrs.get("norm")
+        data=arrs["data"], sqnorm=arrs.get("sqnorm"), norm=arrs.get("norm"),
+        vmin=arrs.get("vmin"), delta=arrs.get("delta"),
     )
     ep = jnp.maximum(entry, 0)
     cur = jnp.full((B,), ep, dtype=jnp.int32)
     cur_d = dists_to_ids(
-        q, cur[:, None], ctx, metric=metric, kind=kind, q_norm=qn
+        q, cur[:, None], ctx, metric=metric, kind=kind, q_norm=qn, q_meta=qm
     )[:, 0]
     if "ulinks" in arrs:
         for lvl in range(lmax, 0, -1):
@@ -87,10 +90,12 @@ def _search_one_shard(
             cur, cur_d = greedy_level_impl(
                 q, ctx, arrs["ulinks"], arrs["upper_row"], cur, cur_d,
                 jnp.int32(lvl), metric=metric, kind=kind, q_norm=qn,
+                q_meta=qm,
             )
     bd, bi = beam_search_impl(
         q, ctx, arrs["links"], None, cur, cur_d, cap,
-        ef=ef, metric=metric, kind=kind, q_norm=qn, expand=expand,
+        ef=ef, metric=metric, kind=kind, q_norm=qn, q_meta=qm,
+        expand=expand,
     )
     w = bd.shape[1]
     if w < k:
@@ -110,8 +115,8 @@ def _search_one_shard(
     ),
 )
 def sharded_graph_topk(
-    q, qn, stacked, entry, count, *, k, ef, lmax, cap, metric, kind, expand,
-    k_merge=None,
+    q, qn, stacked, entry, count, qm=None, *, k, ef, lmax, cap, metric,
+    kind, expand, k_merge=None,
 ):
     """All-shard search + global merge.
 
@@ -130,7 +135,7 @@ def sharded_graph_topk(
         metric=metric, kind=kind, expand=expand,
     )
     axes = ({name: 0 for name in stacked}, 0, 0)
-    bd, bi = jax.vmap(lambda a, e, c: fn(q, qn, a, e, c), in_axes=axes)(
+    bd, bi = jax.vmap(lambda a, e, c: fn(q, qn, qm, a, e, c), in_axes=axes)(
         stacked, entry, count
     )  # [S, B, k]
     B = q.shape[0]
@@ -251,15 +256,35 @@ class _ShardedGraphBase:
                 else np.asarray(labels)
             )
             S = self.n_shards
+            # Deferred per-shard builds, driven round-robin: each shard's
+            # generator dispatches ONE fused scan segment per next() and
+            # yields before forcing it, so every mesh device keeps one
+            # segment in flight at a time — the S subgraph builds overlap
+            # on a real mesh instead of serializing shard-after-shard
+            # (each shard's store is pinned to its own device, and a jit
+            # program runs on the device its inputs live on).
+            gens = []
             for i, s in enumerate(self.shards):
                 rows = np.arange(i, n, S)
                 if not len(rows):
                     continue
-                s.bulk_build_device(
-                    data[i:n:S], labels=labels[rows].tolist(), **kw
+                gens.append(
+                    s.bulk_build_device(
+                        data[i:n:S], labels=labels[rows].tolist(),
+                        _deferred=True, **kw
+                    )
                 )
                 for lab in labels[rows]:
                     self._label_shard[int(lab)] = i
+            while gens:
+                still = []
+                for g in gens:
+                    try:
+                        next(g)
+                        still.append(g)
+                    except StopIteration:
+                        pass
+                gens = still
             self._rr = n
             self._placed = None
 
@@ -270,6 +295,47 @@ class _ShardedGraphBase:
     @property
     def index_size(self) -> int:
         return self.size
+
+    # -- batch iterator / info -----------------------------------------
+
+    def new_batch_iterator(self, query, params: Optional[VecSimQueryParams] = None):
+        """K-way merge of the per-shard resumable iterators (labels are
+        disjoint across shards; see sharded_batch_iterator module doc)."""
+        from .sharded_batch_iterator import ShardedBatchIterator
+
+        return ShardedBatchIterator(self, query, params)
+
+    def basic_info(self):
+        """Shard-0 basic info with aggregate size — one shard defines the
+        type/metric/dim config; isMulti etc. are homogeneous by
+        construction."""
+        info = self.shards[0].basic_info()
+        return info
+
+    def stats_info(self):
+        from ..types import VecSimIndexStatsInfo
+
+        return VecSimIndexStatsInfo(
+            memory=self.memory_bytes,
+            numberOfMarkedDeleted=sum(
+                s.num_marked_deleted for s in self.shards
+            ),
+        )
+
+    def debug_info(self):
+        """Aggregate debug info: shard-0's structural fields with
+        sharded-wide size/label-count/memory totals. ``shard_debug_info``
+        returns the full per-shard list."""
+        info = self.shards[0].debug_info()
+        info.commonInfo.indexSize = self.index_size
+        info.commonInfo.indexLabelCount = sum(
+            s.index_label_count for s in self.shards
+        )
+        info.commonInfo.memory = self.memory_bytes
+        return info
+
+    def shard_debug_info(self) -> list:
+        return [s.debug_info() for s in self.shards]
 
     @property
     def memory_bytes(self) -> int:
@@ -377,8 +443,13 @@ class _ShardedGraphBase:
             ef_pad = min(pow2_bucket(max(ef_eff, k)), w_cap)
             ks = min(kq, ef_pad)  # per-shard return width
             km = min(kq, self.n_shards * ks)  # global merge width
+            qm = None
+            if s0.store_kind in ("sq8", "sq4"):
+                # Asymmetric-kernel query metadata (Σy, Σy²); queries stay
+                # float against the shards' quantized rows.
+                qm = (jnp.sum(qd, axis=-1), jnp.sum(qd * qd, axis=-1))
             bd, bi, bs = sharded_graph_topk(
-                qd, qn, stacked, entry, count,
+                qd, qn, stacked, entry, count, qm,
                 k=ks, ef=ef_pad, lmax=lmax, cap=cap,
                 metric=s0.metric, kind=s0.store_kind,
                 expand=config.resolve_search_expand(ef_eff),
@@ -552,20 +623,23 @@ class ShardedVamana(_ShardedGraphBase):
     single-layer sibling of ``ShardedHNSW``: each device owns an
     independent Vamana subgraph (medoid entry, alpha-pruned links), and
     the SPMD program beams every subgraph from its own medoid before the
-    global merge. Unquantized stores only (the quantized search space
-    carries per-row metadata + rerank passes the cross-shard program
-    doesn't reproduce; shard quantized indexes via ``to_query_sharded``).
+    global merge. Supports unquantized stores and single-level SQ8/LVQ4
+    primaries (the asymmetric kernels ride the stacked vmin/delta
+    columns). Two-level residual and LeanVec modes carry per-shard rerank
+    passes + projection matrices the cross-shard program doesn't
+    reproduce — shard those via ``to_query_sharded`` instead.
     """
 
     def _new_shard(self, i: int, seed: int):
         from ..indexes.svs import SVSIndex
-        from ..types import VecSimSvsQuantBits
 
-        if VecSimSvsQuantBits(self.params.quantBits) != VecSimSvsQuantBits.NONE:
+        shard = SVSIndex(self.params)
+        if shard.res_bits or shard.is_leanvec:
             raise ValueError(
-                "ShardedVamana supports unquantized SVS indexes only"
+                "ShardedVamana supports unquantized or single-level "
+                "SQ8/LVQ4 SVS indexes only (no residual/LeanVec rerank)"
             )
-        return SVSIndex(self.params)
+        return shard
 
     def _window(self, k: int, params) -> int:
         return self.shards[0]._effective_ws(k, params)
@@ -576,7 +650,7 @@ class ShardedVamana(_ShardedGraphBase):
             "data": pad_rows(dev["data"], cap, 0),
             "links": pad_rows(dev["links"], cap, -1),
         }
-        for name in ("sqnorm", "norm"):
+        for name in ("sqnorm", "norm", "vmin", "delta"):
             if dev.get(name) is not None:
                 arrs[name] = pad_rows(dev[name], cap, 0)
         return arrs
