@@ -9,9 +9,9 @@ run() {
   timeout "$tmo" python "$@" > "bench_out/$name.jsonl" 2> "bench_out/$name.err"
   echo "=== $name exit=$? $(date +%T)" >> "$log"
 }
-run bf_sweep_1m 1000 benchmarks/run_all.py --n 1000000 --skip-hnsw
-run tenm_96 700 benchmarks/sharded_10m.py
-run hnsw_sweep_200k 1400 benchmarks/run_all.py --n 200000 --skip-bf --hn-n 200000
-run concurrent 900 benchmarks/concurrent_bench.py --n 200000 --dim 96 --seconds 30
-run updated_100k 900 benchmarks/run_all.py --updated --updated-n 100000
+run bf_sweep_1m 2400 benchmarks/run_all.py --n 1000000 --skip-hnsw
+run hnsw_sweep_200k 2400 benchmarks/run_all.py --n 200000 --skip-bf --hn-n 200000
+run updated_100k 1800 benchmarks/run_all.py --updated --updated-n 100000
+run concurrent 1500 benchmarks/concurrent_bench.py --n 200000 --dim 96 --seconds 30
+run tenm_96 2400 benchmarks/sharded_10m.py --queries 1024
 echo "=== chain done $(date +%T)" >> "$log"

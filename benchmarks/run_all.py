@@ -246,12 +246,19 @@ def _run_updated_index(args, emit):
 
     n, dim, B = args.updated_n, args.dim, min(args.queries, 32)
     emit(event="updated_config", n=n, dim=dim, device=str(jax.devices()[0]))
-    rng = np.random.default_rng(4)
-    queries = rng.standard_normal((B, dim)).astype(np.float32)
 
-    key = jax.random.PRNGKey(7)
-    d1 = jax.random.normal(key, (n, dim), dtype=jnp.float32)
-    d2 = jax.random.normal(jax.random.PRNGKey(8), (n, dim), dtype=jnp.float32)
+    # Embedding-like data (intrinsic dim ~48), same as the main sweep: on
+    # raw gaussian clouds cosine distances concentrate and ranks 11..100
+    # are numerical ties, so set-recall@100 vs a tie-broken ground truth
+    # collapses for ANY correct search — a dataset artifact, not a search
+    # property (the reference benchmarks this config on dbpedia).
+    from vectorsimilarity_tpu.utils.synthetic import embedding_like
+
+    # One generation call = one shared projection: originals, overwrites,
+    # and queries must come from the SAME corpus distribution.
+    allrows = embedding_like(jax.random.PRNGKey(7), 2 * n + B, dim,
+                             intrinsic_dim=48)
+    d1, d2, queries = allrows[:n], allrows[n:2 * n], np.asarray(allrows[2 * n:])
     host1, host2 = np.asarray(d1), np.asarray(d2)
 
     # ---- flat ----
@@ -269,6 +276,7 @@ def _run_updated_index(args, emit):
     assert bf.index_size == n
     emit(event="updated_bf_memory", phase="after", bytes=bf.stats_info().memory)
     for k in (10, 100, 500):
+        bf.topk_query_batch(queries, k)  # absorb the one-time re-sync upload
         t0 = time.perf_counter()
         bf.topk_query_batch(queries, k)
         emit(event="updated_bf_topk", phase="after", k=k,

@@ -186,7 +186,7 @@ pallas_min_batch: int = 1024
 
 
 def pallas_enabled(kind: str, k: int, capacity: int, dtype=None,
-                   batch=None) -> bool:
+                   batch=None, dim=None) -> bool:
     if not _pallas_common(kind, capacity, dtype):
         return False
     if use_pallas == "always":
@@ -195,11 +195,17 @@ def pallas_enabled(kind: str, k: int, capacity: int, dtype=None,
         return False
     if batch is not None and batch < pallas_min_batch:
         return False
+    if dim is not None and dim % 128:
+        # Non-lane-aligned rows make XLA relayout-COPY the whole store
+        # into the kernel's padded tiling (1.33x of the data array in HBM
+        # per dispatch at dim 96 — an 8 GB temp at 10M x 96). The
+        # streaming engine handles these dims natively.
+        return False
     return _on_tpu()
 
 
 def pallas_gm_enabled(kind: str, k: int, capacity: int, dtype=None,
-                      batch=None) -> bool:
+                      batch=None, dim=None) -> bool:
     """Gate for the group-min engine (k <= pallas_gm_max_k)."""
     if not _pallas_common(kind, capacity, dtype):
         return False
@@ -213,11 +219,13 @@ def pallas_gm_enabled(kind: str, k: int, capacity: int, dtype=None,
         return True
     if batch is not None and batch < pallas_min_batch:
         return False
+    if dim is not None and dim % 128:
+        return False  # see pallas_enabled: relayout-copy of the store
     return _on_tpu()
 
 
 def pallas_bigk_enabled(kind: str, k: int, capacity: int, dtype=None,
-                        batch=None) -> bool:
+                        batch=None, dim=None) -> bool:
     """Gate for the per-tile local-top-c kernel (k in (max_k, bigk_max])."""
     if not _pallas_common(kind, capacity, dtype):
         return False
@@ -231,4 +239,6 @@ def pallas_bigk_enabled(kind: str, k: int, capacity: int, dtype=None,
     n_tiles = max(capacity // pallas_tile_n, 1)
     if n_tiles * pallas_local_c < k:
         return False
+    if dim is not None and dim % 128:
+        return False  # see pallas_enabled: relayout-copy of the store
     return _on_tpu()

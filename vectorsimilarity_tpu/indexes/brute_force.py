@@ -210,7 +210,7 @@ class BruteForceIndex(DeviceVectorIndex):
             if config.pallas_gm_enabled(self.store_kind, min(k, max(count, 1)),
                                         self.store.capacity,
                                         self.store.fields["data"].device_dtype,
-                                        batch=qd.shape[0]):
+                                        batch=qd.shape[0], dim=self.dim):
                 from ..ops.pallas.bf_topk import pallas_topk_gm
 
                 data, sqn = self.store_tuple(dev)
@@ -229,7 +229,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 # through to the next engine.
             if config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
                                      self.store.fields["data"].device_dtype,
-                                     batch=qd.shape[0]):
+                                     batch=qd.shape[0], dim=self.dim):
                 from ..ops.pallas.bf_topk import pallas_topk
 
                 data, sqn = self.store_tuple(dev)
@@ -245,7 +245,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 )
             if config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
                                           self.store.fields["data"].device_dtype,
-                                          batch=qd.shape[0]):
+                                          batch=qd.shape[0], dim=self.dim):
                 from ..ops.pallas.bf_topk import pallas_topk_bigk
 
                 data, sqn = self.store_tuple(dev)
@@ -298,7 +298,7 @@ class BruteForceIndex(DeviceVectorIndex):
             )
         elif config.pallas_gm_enabled(self.store_kind, kk, self.store.capacity,
                                       self.store.fields["data"].device_dtype,
-                                      batch=len(q)):
+                                      batch=len(q), dim=self.dim):
             from ..ops.pallas.bf_topk import pallas_topk_gm
 
             data, sqn = self.store_tuple(dev)
@@ -320,7 +320,7 @@ class BruteForceIndex(DeviceVectorIndex):
                 )
         elif config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
                                    self.store.fields["data"].device_dtype,
-                                   batch=len(q)):
+                                   batch=len(q), dim=self.dim):
             from ..ops.pallas.bf_topk import pallas_topk
 
             data, sqn = self.store_tuple(dev)
@@ -333,7 +333,7 @@ class BruteForceIndex(DeviceVectorIndex):
             )
         elif config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
                                         self.store.fields["data"].device_dtype,
-                                        batch=len(q)):
+                                        batch=len(q), dim=self.dim):
             from ..ops.pallas.bf_topk import pallas_topk_bigk
 
             data, sqn = self.store_tuple(dev)
