@@ -1,0 +1,15 @@
+#!/bin/bash
+# Second TPU chain: reruns with fixes (one tunnel client at a time).
+cd /root/repo
+mkdir -p bench_out
+log=bench_out/chain.log
+run() {
+  name=$1; tmo=$2; shift 2
+  echo "=== $name start $(date +%T)" >> "$log"
+  timeout "$tmo" python "$@" > "bench_out/$name.jsonl" 2> "bench_out/$name.err"
+  echo "=== $name exit=$? $(date +%T)" >> "$log"
+}
+run tenm_96 2400 benchmarks/sharded_10m.py --queries 1024
+run updated_100k 2400 benchmarks/run_all.py --updated --updated-n 100000
+run bf_sweep_1m 2400 benchmarks/run_all.py --n 1000000 --skip-hnsw
+echo "=== chain2 done $(date +%T)" >> "$log"

@@ -132,20 +132,12 @@ def main():
     rep = idx.topk_query(q[0], k)
     assert len(rep) == k and list(rep.ids) == [int(x) for x in ids[0][:k]]
 
-    # Life-cycle on the sharded index: add a sentinel equal to query 0
-    # (exact nearest), re-query, delete it, and verify the original result
-    # returns — add/delete keep full swap-with-last semantics re-sharded.
-    sentinel = 10**9
-    idx.add_vector(q[0], sentinel)
-    rep2 = idx.topk_query(q[0], k)
-    assert rep2.ids[0] == sentinel and rep2.scores[0] <= 1e-5
-    idx.delete_vector(sentinel)
-    rep3 = idx.topk_query(q[0], k)
-    assert list(rep3.ids) == list(rep.ids)
-    print(json.dumps({"event": "lifecycle", "ok": True}), flush=True)
-
     # Cross-check a few queries against per-shard numpy scans (never
-    # materializing more than one shard on host).
+    # materializing more than one shard on host). Runs BEFORE the
+    # lifecycle mutations: add_vector on a device-authoritative store is
+    # copy-on-write, and with the script still holding the generation
+    # arrays a post-mutation crosscheck sits at 2x store bytes — at 10M
+    # the final gather then dies RESOURCE_EXHAUSTED.
     check = min(args.check, B)
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         # Virtual CPU mesh: data lives in host RAM, the per-shard numpy
@@ -210,6 +202,22 @@ def main():
                           "queries": check, "ok": bool(ok),
                           "numpy_dist_ok": dist_ok}), flush=True)
         assert ok and dist_ok, "sharded top-k mismatch vs exact scan"
+
+    # Drop the generation references so the lifecycle's copy-on-write
+    # update is the only extra store copy alive (peak 2x, transient).
+    del parts, data, sqn
+
+    # Life-cycle: add a sentinel equal to query 0 (exact nearest),
+    # re-query, delete it, and verify the original result returns —
+    # add/delete keep full swap-with-last semantics at 10M scale.
+    sentinel = 10**9
+    idx.add_vector(q[0], sentinel)
+    rep2 = idx.topk_query(q[0], k)
+    assert rep2.ids[0] == sentinel and rep2.scores[0] <= 1e-5
+    idx.delete_vector(sentinel)
+    rep3 = idx.topk_query(q[0], k)
+    assert list(rep3.ids) == list(rep.ids)
+    print(json.dumps({"event": "lifecycle", "ok": True}), flush=True)
 
 
 if __name__ == "__main__":

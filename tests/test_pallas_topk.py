@@ -537,3 +537,55 @@ def test_gm_hidden_group_members():
     rd, ri = _ref_topk(qj, dj, 128, 8, VecSimMetric.Cosine)
     assert not np.asarray(unc).any()
     assert set(np.asarray(gi)[0].tolist()) == set(ri[0].tolist())
+
+
+def test_gm_exact_fused_fallback():
+    """pallas_topk_gm_exact: the in-program lax.cond fallback returns the
+    exact streaming answer when coverage fails (all-ties adversarial) and
+    the kernel answer when it holds — no host read either way."""
+    from vectorsimilarity_tpu.ops.pallas.bf_topk import pallas_topk_gm_exact
+
+    # Covered case: random data == kernel path.
+    n, d, b, k = 1024, 64, 8, 10
+    q, data = _mk(n, d, b, seed=21)
+    gd, gi = pallas_topk_gm_exact(q, data, None, jnp.int32(n), k,
+                                  metric=VecSimMetric.Cosine, kind="float",
+                                  tile_n=128, group_n=16, interpret=True)
+    rd, ri = _ref_topk(q, data, n, k, VecSimMetric.Cosine)
+    assert np.allclose(np.asarray(gd), rd, atol=5e-4)
+
+    # Uncovered case (every row identical): must fall back in-program and
+    # still return k exact results (ids 0..k-1 by lex tie-break).
+    base = np.ones((1, 32), np.float32) / np.sqrt(32)
+    dat2 = jnp.asarray(np.tile(base, (256, 1)))
+    q2 = jnp.asarray(np.tile(base, (2, 1)))
+    fd, fi = pallas_topk_gm_exact(q2, dat2, None, jnp.int32(256), 8,
+                                  metric=VecSimMetric.Cosine, kind="float",
+                                  tile_n=64, group_n=16, interpret=True)
+    fi = np.asarray(fi)
+    assert np.allclose(np.asarray(fd), 0.0, atol=1e-6)
+    assert (fi == np.arange(8)[None, :]).all(), fi
+
+
+def test_bigk_exact_fused_fallback():
+    from vectorsimilarity_tpu.ops.pallas.bf_topk import pallas_topk_bigk_exact
+
+    n, d, b, k = 1024, 32, 4, 192
+    q, data = _mk(n, d, b, seed=22)
+    bd, bi = pallas_topk_bigk_exact(q, data, None, jnp.int32(n), k,
+                                    metric=VecSimMetric.Cosine, kind="float",
+                                    tile_n=128, local_c=32, interpret=True)
+    rd, ri = _ref_topk(q, data, n, k, VecSimMetric.Cosine)
+    assert np.allclose(np.asarray(bd), rd, atol=5e-4)
+
+    # Truncation-forcing shape: all near-duplicates in one tile -> the
+    # in-program streaming fallback must still return the exact answer.
+    base = np.ones((1, 32), np.float32) / np.sqrt(32)
+    dat2 = jnp.asarray(np.tile(base, (256, 1)))
+    q2 = jnp.asarray(np.tile(base, (2, 1)))
+    fd, fi = pallas_topk_bigk_exact(q2, dat2, None, jnp.int32(256), 48,
+                                    metric=VecSimMetric.Cosine, kind="float",
+                                    tile_n=64, local_c=16, interpret=True)
+    fi = np.asarray(fi)
+    assert np.allclose(np.asarray(fd), 0.0, atol=1e-6)
+    assert (fi == np.arange(48)[None, :]).all()

@@ -18,6 +18,16 @@ def mesh():
     return make_mesh(jax.devices()[:8])
 
 
+@pytest.fixture(autouse=True)
+def _drop_kernels_per_test():
+    """This module's tests each compile several LARGE 8-device programs
+    (fused builds + SPMD searches); XLA:CPU segfaults once a process holds
+    enough live compiled code (see conftest). The module-scope clear is not
+    enough here — drop executables after every test."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("metric", [VecSimMetric.L2, VecSimMetric.IP])
 def test_sharded_topk_matches_numpy(mesh, metric):
     rng = np.random.default_rng(0)

@@ -32,6 +32,14 @@ fp32_matmul_precision: str = "high"  # "highest" | "high"
 # to the host-orchestrated path (kept as the semantics reference).
 graph_build_device: bool = True
 build_batch: int = 1024  # max rows per connect_batch dispatch (pow2)
+# Max rows one tiered insert-job execution migrates into the backend.
+# Each migration batch holds the backend lock for one connect dispatch;
+# coalescing the whole queue (the pre-round-5 behavior, up to build_batch)
+# made that dispatch seconds long at serving scale and queries convoyed
+# behind it (measured 2242 -> 77 QPS under async ingest at 200k). Smaller
+# batches re-coalesce from the queue anyway — ingest throughput barely
+# moves, worst-case query stall drops to one short dispatch.
+tiered_migrate_batch: int = 256
 # Batches fused per build_scan dispatch (bulk). Short programs on purpose:
 # the relay-backed TPU worker kills sessions running multi-minute single
 # XLA executions (1M builds crashed reproducibly in the second ~6-min

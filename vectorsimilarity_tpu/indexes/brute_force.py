@@ -211,22 +211,22 @@ class BruteForceIndex(DeviceVectorIndex):
                                         self.store.capacity,
                                         self.store.fields["data"].device_dtype,
                                         batch=qd.shape[0], dim=self.dim):
-                from ..ops.pallas.bf_topk import pallas_topk_gm
+                from ..ops.pallas.bf_topk import pallas_topk_gm_exact
 
                 data, sqn = self.store_tuple(dev)
-                bd, bi, unc = pallas_topk_gm(
+                # Exactness fallback is fused in-program (lax.cond to the
+                # streaming scan): no per-dispatch host read, so pipelined
+                # serving batches stay pipelined.
+                return pallas_topk_gm_exact(
                     qd, data, sqn, jnp.int32(count),
                     min(k, max(count, 1)),
-                    metric=self.metric,
+                    metric=self.metric, kind=self.store_kind,
                     tile_n=min(config.pallas_tile_n, self.store.capacity),
                     group_n=config.pallas_gm_group_n,
                     slack=config.pallas_gm_slack,
+                    chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
                     query_norms=qn,
                 )
-                if not bool(jnp.any(unc)):
-                    return bd, bi
-                # Coverage fallback (see pallas_topk_gm docstring) — drop
-                # through to the next engine.
             if config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
                                      self.store.fields["data"].device_dtype,
                                      batch=qd.shape[0], dim=self.dim):
@@ -246,20 +246,18 @@ class BruteForceIndex(DeviceVectorIndex):
             if config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
                                           self.store.fields["data"].device_dtype,
                                           batch=qd.shape[0], dim=self.dim):
-                from ..ops.pallas.bf_topk import pallas_topk_bigk
+                from ..ops.pallas.bf_topk import pallas_topk_bigk_exact
 
                 data, sqn = self.store_tuple(dev)
-                bd, bi, trunc = pallas_topk_bigk(
+                # Truncation fallback fused in-program (see gm path above).
+                return pallas_topk_bigk_exact(
                     qd, data, sqn, jnp.int32(count), kpad,
-                    metric=self.metric,
+                    metric=self.metric, kind=self.store_kind,
                     tile_n=min(config.pallas_tile_n, self.store.capacity),
                     local_c=config.pallas_local_c,
+                    chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
                     query_norms=qn,
                 )
-                if not bool(jnp.any(trunc)):
-                    return bd, bi
-                # A tile filled every survivor slot inside the top-k
-                # (possible hidden candidates): exact streaming fallback.
             return streaming_topk(
                 qd,
                 self.store_tuple(dev),
@@ -299,25 +297,19 @@ class BruteForceIndex(DeviceVectorIndex):
         elif config.pallas_gm_enabled(self.store_kind, kk, self.store.capacity,
                                       self.store.fields["data"].device_dtype,
                                       batch=len(q), dim=self.dim):
-            from ..ops.pallas.bf_topk import pallas_topk_gm
+            from ..ops.pallas.bf_topk import pallas_topk_gm_exact
 
             data, sqn = self.store_tuple(dev)
-            dists, ids, unc = pallas_topk_gm(
+            # Fused in-program fallback: see _topk_device.
+            dists, ids = pallas_topk_gm_exact(
                 jnp.asarray(q), data, sqn, jnp.int32(count), kk,
-                metric=self.metric,
+                metric=self.metric, kind=self.store_kind,
                 tile_n=min(config.pallas_tile_n, self.store.capacity),
                 group_n=config.pallas_gm_group_n,
                 slack=config.pallas_gm_slack,
+                chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
                 query_norms=None if qnorms is None else jnp.asarray(qnorms),
             )
-            if bool(jnp.any(unc)):
-                # Coverage fallback (see pallas_topk_gm docstring).
-                dists, ids = streaming_topk(
-                    jnp.asarray(q), self.store_tuple(dev), jnp.int32(count),
-                    kpad, metric=self.metric, kind=self.store_kind,
-                    chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
-                    query_norms=None if qnorms is None else jnp.asarray(qnorms),
-                )
         elif config.pallas_enabled(self.store_kind, kpad, self.store.capacity,
                                    self.store.fields["data"].device_dtype,
                                    batch=len(q), dim=self.dim):
@@ -334,24 +326,18 @@ class BruteForceIndex(DeviceVectorIndex):
         elif config.pallas_bigk_enabled(self.store_kind, kpad, self.store.capacity,
                                         self.store.fields["data"].device_dtype,
                                         batch=len(q), dim=self.dim):
-            from ..ops.pallas.bf_topk import pallas_topk_bigk
+            from ..ops.pallas.bf_topk import pallas_topk_bigk_exact
 
             data, sqn = self.store_tuple(dev)
-            dists, ids, trunc = pallas_topk_bigk(
+            # Truncation fallback fused in-program (see gm path above).
+            dists, ids = pallas_topk_bigk_exact(
                 jnp.asarray(q), data, sqn, jnp.int32(count), kk,
-                metric=self.metric,
+                metric=self.metric, kind=self.store_kind,
                 tile_n=min(config.pallas_tile_n, self.store.capacity),
                 local_c=config.pallas_local_c,
+                chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
                 query_norms=None if qnorms is None else jnp.asarray(qnorms),
             )
-            if bool(jnp.any(trunc)):
-                # Rare exactness fallback (see pallas_topk_bigk docstring).
-                dists, ids = streaming_topk(
-                    jnp.asarray(q), self.store_tuple(dev), jnp.int32(count),
-                    kpad, metric=self.metric, kind=self.store_kind,
-                    chunk=max(min(_SCAN_CHUNK, self.store.capacity), kpad),
-                    query_norms=None if qnorms is None else jnp.asarray(qnorms),
-                )
         else:
             dists, ids = streaming_topk(
                 jnp.asarray(q),

@@ -160,7 +160,7 @@ class TieredHNSWIndex(VecSimIndexBase):
                 # single-insert rate). Later queued jobs become no-ops via
                 # is_valid.
                 batch = [job]
-                cap = max(config.build_batch, 1)
+                cap = max(min(config.tiered_migrate_batch, config.build_batch), 1)
                 for jobs in self._insert_jobs.values():
                     for j in jobs:
                         if j.is_valid and j is not job:
