@@ -249,13 +249,13 @@ def main() -> None:
                 "engine": (
                     "pallas-gm" if vs_config.pallas_gm_enabled(
                         kind, k, idx.store.capacity,
-                        idx.store.fields["data"].device_dtype, batch=B)
+                        idx.store.fields["data"].device_dtype, batch=B, dim=dim)
                     else "pallas" if vs_config.pallas_enabled(
                         kind, k, idx.store.capacity,
-                        idx.store.fields["data"].device_dtype)
+                        idx.store.fields["data"].device_dtype, dim=dim)
                     else "pallas-bigk" if vs_config.pallas_bigk_enabled(
                         kind, k, idx.store.capacity,
-                        idx.store.fields["data"].device_dtype)
+                        idx.store.fields["data"].device_dtype, dim=dim)
                     else "xla"
                 ),
             }

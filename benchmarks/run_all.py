@@ -111,17 +111,28 @@ def main():
         emit(event="bf_topk", k=k, ms_per_batch=round(dt * 1e3, 2),
              qps=round(reps and B / dt, 1))
 
-    # BF range (radius on cosine distance)
-    for radius in (0.2, 0.35, 0.5):
-        q1 = queries[0]
-        bf.range_query(q1, radius)
+    # BF range (radius on cosine distance). The reference radii
+    # {0.2,0.35,0.5} target its datasets' distance scale and return ~0
+    # rows on the embedding-like synthetic — keep them for parity, then
+    # add data-driven radii at the query's 10th/100th-neighbor distance
+    # so the timed result sets are non-trivial.
+    q1 = queries[0]
+    qd = bf.topk_query(q1, 128).scores
+    radii = [0.2, 0.35, 0.5, round(float(qd[9]), 4), round(float(qd[99]), 4)]
+    for radius in radii:
+        bf.range_query(q1, radius)  # warm
         t0 = time.perf_counter()
         rep = bf.range_query(q1, radius)
         dt = time.perf_counter() - t0
         emit(event="bf_range", radius=radius, ms=round(dt * 1e3, 2), results=len(rep))
 
-    # BF batch iterator
+    # BF batch iterator. Warm one throwaway iterator through the same
+    # number of refills first: otherwise the first timed refill includes
+    # the scoring pass's XLA compile, not serving cost.
     for bs in (10, 100, 1000):
+        warm = bf.new_batch_iterator(queries[0])
+        for _ in range(3):
+            warm.get_next_results(bs)
         it = bf.new_batch_iterator(queries[0])
         t0 = time.perf_counter()
         for _ in range(3):
@@ -193,21 +204,32 @@ def _run_hnsw(args, vs, jax, data, queries, add_vecs, emit):
         emit(event="hnsw_topk", ef=ef, k=k, ms_per_batch=round(dt * 1e3, 2),
              qps=round(len(gtq) / dt, 1), recall=round(float(rec), 4))
 
-    # HNSW range with epsilon sweep
-    for eps in (0.001, 0.01, 0.1):
-        params = vs.VecSimQueryParams()
-        params.hnswRuntimeParams.epsilon = eps
-        t0 = time.perf_counter()
-        rep = hn.range_query(gtq[0], 0.35, params)
-        dt = time.perf_counter() - t0
-        emit(event="hnsw_range", radius=0.35, epsilon=eps, ms=round(dt * 1e3, 2),
-             results=len(rep))
+    # HNSW range with epsilon sweep: the reference radius 0.35 (~0 rows
+    # on this dataset, kept for parity) plus the 100th-neighbor radius of
+    # query 0 so the epsilon effect shows on a non-trivial result set.
+    # Warm each (radius, epsilon) once — the ef-doubling ladder compiles
+    # one program per ef bucket and that cost is not serving cost.
+    r100 = round(float(bf_small.topk_query(gtq[0], 128).scores[99]), 4)
+    for radius in (0.35, r100):
+        for eps in (0.001, 0.01, 0.1):
+            params = vs.VecSimQueryParams()
+            params.hnswRuntimeParams.epsilon = eps
+            hn.range_query(gtq[0], radius, params)  # warm
+            t0 = time.perf_counter()
+            rep = hn.range_query(gtq[0], radius, params)
+            dt = time.perf_counter() - t0
+            emit(event="hnsw_range", radius=radius, epsilon=eps,
+                 ms=round(dt * 1e3, 2), results=len(rep))
 
     # HNSW batch iterator grid (reference docs/benchmarks.md: batches
-    # {10,100,1000} x {1,3,5}; the resumable device frontier serves these)
+    # {10,100,1000} x {1,3,5}; the resumable device frontier serves
+    # these). Warm a throwaway iterator through the same refill ladder:
+    # each refill doubles ef, and every NEW ef bucket costs one XLA
+    # compile (~15 s via the relay) that steady-state serving never sees.
     for bs in (10, 100, 1000):
-        it = hn.new_batch_iterator(gtq[0])
-        it.get_next_results(bs)  # warm/compile the resumable path
+        warm = hn.new_batch_iterator(gtq[0])
+        for _ in range(3):
+            warm.get_next_results(bs)
         it = hn.new_batch_iterator(gtq[0])
         t0 = time.perf_counter()
         got = 0
