@@ -14,4 +14,6 @@ run() {
 run bf_sweep_1m 2400 benchmarks/run_all.py --n 1000000 --skip-hnsw
 run hnsw_sweep_200k 3000 benchmarks/run_all.py --n 200000 --hn-n 200000 --skip-bf
 run concurrent 1800 benchmarks/concurrent_bench.py
+run headline_bf16 1200 bench.py --dtype bf16
+run headline_int8 1200 bench.py --dtype int8
 echo "=== chain4 done $(date +%T)" >> "$log"

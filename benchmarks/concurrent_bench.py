@@ -99,6 +99,25 @@ def main():
         idx.add_vector(new_vecs[j % len(new_vecs)], warm_label + j)
     pool.wait_for_quiescence(300)
     warm_label += 64
+    # Warm the FLAT tier's capacity buckets too: during the window the
+    # frontend grows through pow2 buckets (1024 -> 2048 -> ...) and each
+    # new bucket's query program is a fresh XLA compile (~10 s via the
+    # relay) that would land INSIDE the measurement. The jit cache is
+    # process-wide and keyed on shapes, so a THROWAWAY flat index at the
+    # same dim/metric/batch/k compiles exactly the programs the frontend
+    # will hit (without touching tiered bookkeeping).
+    wbf = vs.create_index(VecSimParams(algo=VecSimAlgo.BF, bfParams=vs.BFParams(
+        type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.Cosine)))
+    grown = 0
+    wlab = 0
+    while grown < 8192:
+        step = max(1024, grown)
+        vb = rng.standard_normal((step, dim)).astype(np.float32)
+        wbf.add_vector_batch(vb, list(range(wlab, wlab + step)))
+        wlab += step
+        grown += step
+        wbf.topk_query_batch(queries, args.k)
+    del wbf
 
     # ---- baseline: queries only ----
     t0 = time.perf_counter()

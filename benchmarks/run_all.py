@@ -251,6 +251,21 @@ def _run_hnsw(args, vs, jax, data, queries, add_vecs, emit):
     dt = (time.perf_counter() - t0) / 256
     emit(event="hnsw_delete_label", ms_per_delete=round(dt * 1e3, 2))
 
+    # Production-style deletes: tombstone (mark_delete) + ONE batched
+    # repair/compaction (delete_tombstoned_bulk) — the tiered GC path.
+    # The per-op number above is repair-eager per delete (a referrer scan
+    # + re-prune dispatch each); this is the amortized TPU-native path.
+    for i, v in enumerate(add_vecs[:256]):
+        hn.add_vector(v, hn_n + i)
+    t0 = time.perf_counter()
+    nodes = []
+    for i in range(256):
+        nodes.extend(hn.mark_delete(hn_n + i))
+    hn.delete_tombstoned_bulk(nodes)
+    dt = (time.perf_counter() - t0) / 256
+    emit(event="hnsw_delete_bulk", ms_per_delete=round(dt * 1e3, 2),
+         batch=256)
+
 
 def _run_updated_index(args, emit):
     """BM_VecSimUpdatedIndex (reference docs/benchmarks.md:120-143): flat +
@@ -287,6 +302,10 @@ def _run_updated_index(args, emit):
     bf = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
         type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine)))
     bf.add_vector_batch(host1, list(range(n)))
+    # Warm BEFORE the memory reading: the first query materializes the
+    # device array (host mirror + device buffer are both charged), so a
+    # pre-query "before" vs post-query "after" reads as phantom 2x growth.
+    bf.topk_query_batch(queries, 10)
     emit(event="updated_bf_memory", phase="before", bytes=bf.stats_info().memory)
     for k in (10, 100, 500):
         bf.topk_query_batch(queries, k)
