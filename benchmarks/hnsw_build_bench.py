@@ -78,8 +78,12 @@ def main():
     if args.data == "embedding":
         data = embedding_like(jax.random.PRNGKey(0), cap, dim,
                               intrinsic_dim=args.intrinsic_dim)
-        qdev = embedding_like(jax.random.PRNGKey(0), B + cap, dim,
-                              intrinsic_dim=args.intrinsic_dim)[cap:]
+        # Held-out queries on the SAME manifold via latent_key: the old
+        # form (generate cap+B rows, slice the tail) materializes a
+        # second full corpus — at 10M x 96 that is +6.4 GB and OOMs.
+        qdev = embedding_like(jax.random.PRNGKey(0), B, dim,
+                              intrinsic_dim=args.intrinsic_dim,
+                              latent_key=jax.random.PRNGKey(977))
     else:
         data = jax.random.normal(jax.random.PRNGKey(0), (cap, dim), dtype=jnp.float32)
         data = data / jnp.linalg.norm(data, axis=1, keepdims=True)

@@ -529,6 +529,14 @@ class HNSWIndex(DeviceVectorIndex):
             # --- host metadata (levels, labels; vectors stay device-only) ---
             self.store.host["level"][:n] = levels
             self.store.host["upper_row"][:n] = urows
+            # The host mirror is exact now, so drop the stale mark (set by
+            # adopt_device): delete bookkeeping READS host upper_row rows
+            # (_swap_remove/_remove_upper_row), and a field left "stale"
+            # takes swap_delete's deferred-device-move path, which skips
+            # the host-side move — after the first swap the host mirror
+            # silently diverges and upper-row mapping corrupts (caught by
+            # test_bulk_build_then_delete_pulls_host_mirrors).
+            self.store._host_stale.discard("upper_row")
             labs = (
                 np.arange(n, dtype=np.int64)
                 if labels is None
