@@ -49,6 +49,12 @@ def main():
                          "(the fashion_images-multi analog, "
                          "hnsw_indices_all.txt:4-5); recall over labels")
     ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--no-nav", action="store_true",
+                    help="disable the bf16 nav shadow during the build "
+                         "(-2 bytes/dim/row of HBM; 10M-scale headroom)")
+    ap.add_argument("--donate-state", action="store_true",
+                    help="donate graph state per build dispatch (halves "
+                         "link-array HBM; loses flake retry)")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +101,12 @@ def main():
 
     per_label = max(args.multi, 0)
     labels = np.arange(n, dtype=np.int64) // per_label if per_label > 1 else None
+    from vectorsimilarity_tpu import config as vs_config
+
+    if args.no_nav:
+        vs_config.build_nav_bf16 = False
+    if args.donate_state:
+        vs_config.build_donate_state = True
     idx = HNSWIndex(HNSWParams(
         type=VecSimType.FLOAT32, dim=dim, metric=VecSimMetric.Cosine,
         multi=per_label > 1,

@@ -80,9 +80,11 @@ def main():
     if args.data == "embedding":
         data = embedding_like(jax.random.PRNGKey(0), cap0, dim,
                               intrinsic_dim=args.intrinsic_dim)
-        # Queries from the same distribution (same projection).
-        qdev = embedding_like(jax.random.PRNGKey(0), B + cap0, dim,
-                              intrinsic_dim=args.intrinsic_dim)[cap0:]
+        # Held-out queries on the same manifold (same projection, fresh
+        # latent) WITHOUT materializing a second full corpus.
+        qdev = embedding_like(jax.random.PRNGKey(0), B, dim,
+                              intrinsic_dim=args.intrinsic_dim,
+                              latent_key=jax.random.PRNGKey(977))
         queries = np.asarray(qdev)
     else:
         data = jax.random.normal(jax.random.PRNGKey(0), (cap0, dim), dtype=_jnp.float32)
@@ -297,6 +299,10 @@ def _run_updated_index(args, emit):
                              intrinsic_dim=48)
     d1, d2, queries = allrows[:n], allrows[n:2 * n], np.asarray(allrows[2 * n:])
     host1, host2 = np.asarray(d1), np.asarray(d2)
+    # The slices above are independent device buffers; free the combined
+    # generation buffer (4.3 GB at 500k x 768 with lane padding) — at
+    # 500k the run otherwise OOMs when the HNSW ground-truth index comes up.
+    del allrows
 
     # ---- flat ----
     bf = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
@@ -324,16 +330,21 @@ def _run_updated_index(args, emit):
              ms=round((time.perf_counter() - t0) / B * 1e3, 3))
 
     # ---- HNSW ----
-    from vectorsimilarity_tpu.core.store import _bucket_capacity
+    # Free the flat index before the graph phase: its device store is
+    # dead weight (1.6-2.1 GB at 500k) and both phases never overlap in
+    # the reference protocol either.
+    del bf
 
-    def gt_for(data_dev):
+    def gt_for_store():
+        """Exact ground truth sharing the HNSW store's device buffer.
+
+        The graph store already holds the normalized rows, so the BF GT
+        index ADOPTS that buffer (zero-copy, like hnsw_build_bench) —
+        re-normalizing a fresh padded copy here cost +4 GB and OOMed the
+        500k config."""
         g = vs.create_index(vs.VecSimParams(algo=vs.VecSimAlgo.BF, bfParams=vs.BFParams(
             type=vs.VecSimType.FLOAT32, dim=dim, metric=vs.VecSimMetric.Cosine)))
-        cap = _bucket_capacity(n, g.store.block_size)
-        nrm = jnp.linalg.norm(data_dev, axis=1, keepdims=True)
-        nd = data_dev / jnp.where(nrm == 0, 1.0, nrm)
-        pad = jnp.zeros((cap, dim), jnp.float32).at[:n].set(nd)
-        g.store.adopt_device({"data": pad}, count=n)
+        g.store.adopt_device({"data": hn.store._device["data"]}, count=n)
         g.labels.label_to_id = {i: i for i in range(n)}
         g.store.host["label"][:n] = np.arange(n, dtype=np.int64)
         return [set(r.ids[:100].tolist()) for r in g.topk_query_batch(queries, 100)]
@@ -347,6 +358,7 @@ def _run_updated_index(args, emit):
     # OVERWRITE below is the measured operation and stays on the
     # incremental host API, matching BM_VecSimUpdatedIndex's protocol.
     hn.bulk_build_device(d1, n=n, batch=1024, scan_batches=4)
+    del d1  # the store owns its normalized copy now
     emit(event="updated_hnsw_build", phase="before",
          seconds=round(time.perf_counter() - t0, 1))
 
@@ -365,7 +377,7 @@ def _run_updated_index(args, emit):
                  ms=round(dt * 1e3, 3), recall=round(float(rec), 4))
 
     emit(event="updated_hnsw_memory", phase="before", bytes=hn.stats_info().memory)
-    sweep("before", gt_for(d1))
+    sweep("before", gt_for_store())
     t0 = time.perf_counter()
     for s in range(0, n, batch):
         hn.add_vector_batch(host2[s:s + batch], list(range(s, min(s + batch, n))))
@@ -373,7 +385,7 @@ def _run_updated_index(args, emit):
          vectors_per_sec=round(n / (time.perf_counter() - t0), 1))
     assert hn.index_size == n
     emit(event="updated_hnsw_memory", phase="after", bytes=hn.stats_info().memory)
-    sweep("after", gt_for(d2))
+    sweep("after", gt_for_store())
 
 
 if __name__ == "__main__":

@@ -48,3 +48,23 @@ def _drop_compiled_kernels_between_modules():
     module, which costs seconds and crashes never."""
     yield
     jax.clear_caches()
+
+
+# Modules whose tests EACH compile several large device-build programs
+# (per-dtype fused construction, bulk deletes): the per-module clear above
+# is not enough — the live-code limit is reachable inside ONE module
+# (observed: SIGSEGV at test ~8 of test_hnsw_dtypes_depth in a full-suite
+# run). test_sharding carries its own identical per-test fixture.
+_HEAVY_COMPILE_MODULES = {
+    "test_hnsw_dtypes_depth",
+    "test_hnsw_device_build",
+    "test_svs_device_build",
+}
+
+
+@pytest.fixture(autouse=True)
+def _drop_compiled_kernels_heavy(request):
+    yield
+    mod = getattr(request, "module", None)
+    if mod is not None and mod.__name__ in _HEAVY_COMPILE_MODULES:
+        jax.clear_caches()

@@ -32,6 +32,11 @@ fp32_matmul_precision: str = "high"  # "highest" | "high"
 # to the host-orchestrated path (kept as the semantics reference).
 graph_build_device: bool = True
 build_batch: int = 1024  # max rows per connect_batch dispatch (pow2)
+# Donate the graph state into each build_scan dispatch (links aliased
+# in/out: -2.15 GB at 10M x 96 M=16, the fit margin on a 16 GB chip).
+# Costs the retry-from-previous-state path on backend flakes, so it is
+# opt-in for big builds rather than the default.
+build_donate_state: bool = False
 # Max rows one tiered insert-job execution migrates into the backend.
 # Each migration batch holds the backend lock for one connect dispatch;
 # coalescing the whole queue (the pre-round-5 behavior, up to build_batch)

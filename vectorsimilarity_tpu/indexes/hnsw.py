@@ -604,19 +604,30 @@ class HNSWIndex(DeviceVectorIndex):
                         s2, d2 = graph_build.build_scan(s, ctx, o, l, u, **kw)
                         return s2, int(np.asarray(d2).sum())
 
+                    # Donating the state halves the link-array footprint
+                    # (in/out aliased) — required headroom at 10M scale —
+                    # at the price of the retry-from-previous-state path
+                    # (the input buffers are consumed by the dispatch).
+                    donate = config.build_donate_state
+                    scan_fn = (graph_build.build_scan_donated if donate
+                               else graph_build.build_scan)
                     # Dispatch, yield, THEN force: with one driver thread
                     # round-robining several shards, each mesh device keeps
                     # exactly one segment in flight (never more — piling
                     # multi-minute programs into one device's async stream
                     # has crashed relay-backed TPU workers, and the forcing
                     # read is what surfaces retryable failures).
-                    s2, d2 = graph_build.build_scan(
+                    s2, d2 = scan_fn(
                         state_, ctx, offsets, lv, ur, **kw
                     )
                     yield
                     try:
                         state_, dropped = s2, int(np.asarray(d2).sum())
                     except _jax.errors.JaxRuntimeError:
+                        if donate:
+                            # The previous state was donated into the failed
+                            # dispatch — nothing to retry from.
+                            raise
                         # Retryable backend flake: re-dispatch this segment
                         # from the previous state (idempotent).
                         state_, dropped = retry_device(run_segment)

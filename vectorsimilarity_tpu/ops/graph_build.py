@@ -440,12 +440,7 @@ def connect_batch(state, ctx, ids, levels, urows, *, efc, M, M0, metric, kind,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("efc", "M", "M0", "metric", "kind", "a_cap", "prune_chunk",
-                     "rev_passes", "beam_expand"),
-)
-def build_scan(
+def _build_scan_body(
     state: GraphState,
     ctx: StoreCtx,
     offsets: jax.Array,  # [T] int32 first row id of each batch
@@ -481,6 +476,23 @@ def build_scan(
         )
 
     return jax.lax.scan(step, state, (offsets, levels, urows))
+
+
+_BUILD_SCAN_STATICS = ("efc", "M", "M0", "metric", "kind", "a_cap",
+                       "prune_chunk", "rev_passes", "beam_expand")
+
+build_scan = functools.partial(jax.jit, static_argnames=_BUILD_SCAN_STATICS)(
+    _build_scan_body
+)
+# Donating variant: aliases the GraphState buffers in/out, saving one full
+# copy of the link arrays per dispatch (2.15 GB at 10M x 96 M=16 — the
+# margin between fitting and HBM-OOM on a 16 GB chip). The caller loses
+# the pre-dispatch state (no retry-from-previous-state), so the default
+# build keeps the non-donating form and big builds opt in via
+# ``config.build_donate_state``.
+build_scan_donated = functools.partial(
+    jax.jit, static_argnames=_BUILD_SCAN_STATICS, donate_argnums=(0,)
+)(_build_scan_body)
 
 
 # ---------------------------------------------------------------------------
