@@ -51,20 +51,27 @@ def _drop_compiled_kernels_between_modules():
 
 
 # Modules whose tests EACH compile several large device-build programs
-# (per-dtype fused construction, bulk deletes): the per-module clear above
-# is not enough — the live-code limit is reachable inside ONE module
-# (observed: SIGSEGV at test ~8 of test_hnsw_dtypes_depth in a full-suite
-# run). test_sharding carries its own identical per-test fixture.
+# (per-dtype fused construction, bulk deletes): clear after EVERY test
+# there. Everywhere else a bounded counter clears every few tests — the
+# per-module clear alone is not enough (full-suite SIGSEGVs observed
+# inside test_hnsw_dtypes_depth at ~23% and near test_pallas_topk at
+# ~45%: the live-code limit is cumulative and reachable between module
+# boundaries). test_sharding carries its own identical per-test fixture.
 _HEAVY_COMPILE_MODULES = {
     "test_hnsw_dtypes_depth",
     "test_hnsw_device_build",
     "test_svs_device_build",
 }
+_CLEAR_EVERY = 4
+_test_count = {"n": 0}
 
 
 @pytest.fixture(autouse=True)
-def _drop_compiled_kernels_heavy(request):
+def _drop_compiled_kernels_periodic(request):
     yield
+    _test_count["n"] += 1
     mod = getattr(request, "module", None)
-    if mod is not None and mod.__name__ in _HEAVY_COMPILE_MODULES:
+    if (mod is not None and mod.__name__ in _HEAVY_COMPILE_MODULES) or (
+        _test_count["n"] % _CLEAR_EVERY == 0
+    ):
         jax.clear_caches()
